@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.Transcripts
+import graft.graph.Graph
+import graft.ops.{DupMode, Pairing, Rates, Sessions, TurnGraph}
+import graft.sim.Knn
+import graft.text.{Dedup, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Every transcript query operates on the canonical Turn table derived
+  * deterministically from `events.parquet` ([[Transcripts]]); the matching
+  * oracle SQL reproduces the identical derivation as a DuckDB CTE, so the
+  * driver's row/schema/hash compare is exact (integer microseconds for all
+  * time math; no cross-engine floating-point drift).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String): DataFrame =
+    Transcripts.turns(s, dir)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Flagship query: conversation-graph stats (Q1) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qStats(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ queries
+
+  /** Q1 compute_stats (analysis.py:33-65), transcript domain: nodes =
+    * turns, edges = turns − convs (chain adjacency), paths = components =
+    * convs — the structural identities of the base conversation graph give
+    * a shuffle-light exact plan (the generic component/degree kernels are
+    * exercised against this oracle in ScalaTest).
+    */
+  private def qStats(s: SparkSession, dir: String): DataFrame = {
+    val cs = T(s, dir).groupBy("conv_id").agg(count(lit(1)).as("n"))
+    cs.agg(
+        sum("n").cast("long").as("nodes"),
+        (sum("n") - count(lit(1))).cast("long").as("edges"),
+        count(lit(1)).as("paths"),
+        count(lit(1)).as("components"),
+        max(when(col("n") >= 3, 2).when(col("n") === 2, 1).otherwise(0))
+          .as("max_degree"))
+      .select(col("nodes"), col("edges"), col("paths"), col("components"),
+        col("max_degree"),
+        when(col("nodes") > 1,
+             lit(2.0) * col("edges") / (col("nodes") * (col("nodes") - 1)))
+          .otherwise(lit(0.0)).as("density"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- transcript core (GFA-reinterpreted operators) ---
+    "q_stats" -> ((s, dir) => qStats(s, dir)),
+    "q_conv_edges" -> ((s, dir) => TurnGraph.edges(T(s, dir))),
+    "q_node_index" -> ((s, dir) => TurnGraph.nodeIndex(T(s, dir))),
+    "q_sessions" -> ((s, dir) => Sessions.byGap(T(s, dir), 1800)),
+    "q_sessions_sw" -> ((s, dir) =>
+      Sessions.bySessionWindow(T(s, dir), "30 minutes")),
+    "q_turn_rate" -> ((s, dir) => Rates.tumblingPerTool(T(s, dir), "1 hour")),
+    "q_role_cube" -> ((s, dir) => Rates.roleToolCube(T(s, dir))),
+    "q_pairing" -> ((s, dir) => Pairing.userAssistant(T(s, dir))),
+    "q_degree_hist" -> ((s, dir) => {
+      val t = T(s, dir)
+      val e = TurnGraph.edges(t).select(
+        TurnGraph.nodeId(col("conv_id"), col("src_idx")).as("src"),
+        TurnGraph.nodeId(col("conv_id"), col("dst_idx")).as("dst"))
+      val deg = Graph.degrees(e)
+      t.select(TurnGraph.nodeId(col("conv_id"), col("turn_idx")).as("node"))
+        .join(deg, Seq("node"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
+    "q_coo_sym" -> ((s, dir) =>
+      TurnGraph.symmetrize(TurnGraph.coo(TurnGraph.edges(T(s, dir)), DupMode.Sum))),
+    "q_text_dups" -> ((s, dir) => T(s, dir)
+      .groupBy("text")
+      .agg(count(lit(1)).as("n_occurrences"),
+           min(TurnGraph.nodeId(col("conv_id"), col("turn_idx"))).as("first_node"))
+      .where(col("n_occurrences") > 1)),
+
+    // --- training-data pipeline: documents ---
+    "q_doc_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "q_doc_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))
+      .select("doc_id", "n_tokens", "n_alpha", "n_digits", "n_punct",
+              "n_stopwords", "is_quality")),
+    "q_doc_lang" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+              TextAnalysis.langPrediction(col("text")).as("pred_lang"))),
+    "q_minhash_neardups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cands = Dedup.minhashCandidates(d, "doc_id", "text")
+      Dedup.jaccardVerify(d, cands, "doc_id", "text")
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(200)
+    }),
+    "q_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDups(docs(s, dir), maxHamming = 16)),
+
+    // --- similarity search: embeddings ---
+    "q_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Knn.bruteTopK(e, e.where(col("vec_id") < 20), 5)
+        .select("query_id", "nbr_id", "rank")
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Knn.lshTopK(e, e.where(col("vec_id") < 20), 5)
+        .select("query_id", "nbr_id", "rank")
+    }),
+
+    // --- relational muscle (joins/aggregates over the TPC-H-ish tables) ---
+    "q1_agg" -> ((s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+           count(lit(1)).as("count_order"),
+           countDistinct("l_orderkey").as("n_orders"))),
+    "q_mkt_orders" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct("o_custkey").as("n_custs"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private def tsql(body: String): String = Transcripts.sql(body)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stats" -> tsql(
+      """, conv_sizes AS (SELECT conv_id, COUNT(*) AS n FROM turns GROUP BY conv_id),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS nodes,
+        |             CAST(SUM(n) - COUNT(*) AS BIGINT) AS edges,
+        |             COUNT(*) AS paths, COUNT(*) AS components,
+        |             MAX(CASE WHEN n >= 3 THEN 2 WHEN n = 2 THEN 1 ELSE 0 END) AS max_degree
+        |      FROM conv_sizes)
+        |SELECT nodes, edges, paths, components, max_degree,
+        |       CASE WHEN nodes > 1 THEN 2.0 * edges / (nodes * (nodes - 1))
+        |            ELSE 0.0 END AS density
+        |FROM s""".stripMargin),
+    "q_conv_edges" -> tsql(
+      """SELECT conv_id, turn_idx AS src_idx, LEAD(turn_idx) OVER w AS dst_idx,
+        |       role AS src_role, LEAD(role) OVER w AS dst_role,
+        |       date_diff('microsecond', ts, LEAD(ts) OVER w) AS gap_us
+        |FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |QUALIFY LEAD(turn_idx) OVER w IS NOT NULL""".stripMargin),
+    "q_node_index" -> tsql(
+      """SELECT conv_id, turn_idx,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS node_idx,
+        |       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS node_id
+        |FROM turns""".stripMargin),
+    "q_sessions" -> tsql(Sessions.byGapOracle(1800)),
+    "q_sessions_sw" -> tsql(Sessions.sessionWindowOracle(1800)),
+    "q_turn_rate" -> tsql(
+      """SELECT date_trunc('hour', ts) AS window_start, tool,
+        |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
+        |FROM turns GROUP BY 1, 2""".stripMargin),
+    "q_role_cube" -> tsql(
+      """SELECT role, tool, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs,
+        |       CAST(GROUPING(role) AS INTEGER) AS g_role,
+        |       CAST(GROUPING(tool) AS INTEGER) AS g_tool
+        |FROM turns GROUP BY CUBE (role, tool)""".stripMargin),
+    "q_pairing" -> tsql(
+      """SELECT u.conv_id, u.turn_idx AS user_idx, a.turn_idx AS asst_idx,
+        |       date_diff('microsecond', u.ts, a.ts) AS latency_us
+        |FROM turns u JOIN turns a
+        |  ON u.conv_id = a.conv_id AND a.turn_idx = u.turn_idx + 1
+        |WHERE u.role = 'user' AND a.role = 'assistant'
+        |  AND date_diff('microsecond', u.ts, a.ts) BETWEEN 0 AND 31536000000000""".stripMargin),
+    "q_degree_hist" -> tsql(
+      """, conv_sizes AS (SELECT conv_id, COUNT(*) AS n FROM turns GROUP BY conv_id),
+        |deg AS (
+        |  SELECT CAST(0 AS BIGINT) AS degree, COUNT(*) AS n_nodes
+        |  FROM conv_sizes WHERE n = 1
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 2 * COUNT(*) FROM conv_sizes WHERE n >= 2
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CAST(COALESCE(SUM(n - 2), 0) AS BIGINT)
+        |  FROM conv_sizes WHERE n >= 3)
+        |SELECT degree, n_nodes FROM deg WHERE n_nodes > 0""".stripMargin),
+    "q_coo_sym" -> tsql(
+      """, e AS (
+        |  SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
+        |         conv_id || ':' || CAST(LEAD(turn_idx) OVER w AS VARCHAR) AS dst,
+        |         CAST(date_diff('microsecond', ts, LEAD(ts) OVER w) AS DOUBLE) AS weight
+        |  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |  QUALIFY LEAD(turn_idx) OVER w IS NOT NULL),
+        |g AS (SELECT src, dst, SUM(weight) AS weight FROM e GROUP BY 1, 2),
+        |u AS (SELECT src, dst, weight FROM g
+        |      UNION ALL SELECT dst, src, weight FROM g)
+        |SELECT src, dst, MAX(weight) AS weight FROM u GROUP BY 1, 2""".stripMargin),
+    "q_text_dups" -> tsql(
+      """SELECT text, COUNT(*) AS n_occurrences,
+        |       MIN(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS first_node
+        |FROM turns GROUP BY text HAVING COUNT(*) > 1""".stripMargin),
+    "q_doc_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_doc_quality" ->
+      """SELECT doc_id, n_tokens, n_alpha, n_digits, n_punct, n_stopwords,
+        |       (n_tokens >= 5 AND n_chars_m <= n_tokens * 20
+        |        AND n_stopwords * 50 >= n_tokens) AS is_quality
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INTEGER) AS n_alpha,
+        |         CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits,
+        |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+        |         CAST(len(regexp_extract_all(lower(text),
+        |           '\b(the|a|an|and|of|to|in|is|it|that|for|on|with|as)\b')) AS INTEGER) AS n_stopwords
+        |  FROM documents)""".stripMargin,
+    "q_doc_lang" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN CAST(len(regexp_extract_all(lower(text),
+        |                 '\b(the|a|an|and|of|to|in|is|it|that|for|on|with|as)\b')) AS INTEGER) * 25
+        |                 >= CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER)
+        |            THEN 'en' ELSE 'unk' END AS pred_lang
+        |FROM documents""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS count_order, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_mkt_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin
+    // q_minhash_neardups / q_simhash_neardups / q_knn_* are hash-function-
+    // dependent (xxhash64) — not SQL-expressible in DuckDB; the driver
+    // records rows-only checks and ScalaTest covers them with planted
+    // fixtures (DedupSpec / KnnSpec).
+  )
 }

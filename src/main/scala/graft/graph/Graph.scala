@@ -1,0 +1,174 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Generic distributed graph kernels over edge DataFrames (src:string,
+  * dst:string[, weight:double]). Used both by the GFA-semantics layer and
+  * by the transcript graph; no driver-side adjacency is ever materialized.
+  */
+object Graph {
+
+  /** Undirected view: each edge plus its reverse (dedup'd). */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** Per-node degree. Undirected degree = distinct-neighbor count after
+    * mirroring; classic partial+final hash aggregate (A7).
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    undirected(edges).groupBy("src").agg(count(lit(1)).as("degree"))
+      .withColumnRenamed("src", "node")
+
+  /** Connected-component count via iterative min-label propagation (A8;
+    * reference: nx.number_connected_components, analysis.py:54).
+    *
+    * Each round: every node adopts min(own label, neighbor labels);
+    * converges in O(diameter) rounds. `localCheckpoint` truncates lineage
+    * per round so plans stay bounded. Nodes with no edges count as
+    * singleton components (pass `allNodes` to include isolated nodes).
+    */
+  def connectedComponents(edges: DataFrame, allNodes: Option[DataFrame] = None,
+                          maxIter: Int = 50): DataFrame = {
+    val und = undirected(edges)
+    val nodes = allNodes
+      .map(_.select(col("node")))
+      .getOrElse(und.select(col("src").as("node")).distinct())
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node = min over neighbors' labels
+      val viaNeighbors = und
+        .join(labels.withColumnRenamed("node", "dst_n"),
+              col("dst") === col("dst_n"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.select("node", "label").union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.localCheckpoint(eager = true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Multi-source BFS / uniform-weight Dijkstra (Q2/Q3 core;
+    * reference: nx.multi_source_dijkstra_path_length, analysis.py:109).
+    *
+    * `seeds`: (node, tag) — frontier label per source group (e.g. the
+    * path/conversation name); returns (tag, node, dist) = shortest hop
+    * distance from any seed with that tag. One pass computes ALL tags at
+    * once — the Spark translation of the reference's per-path Dijkstra
+    * cache (A12, analysis.py:235-239): compute once, reuse for O(P²) pairs.
+    */
+  def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
+                     directed: Boolean = false, maxIter: Int = 64): DataFrame = {
+    val adj = (if (directed) edges.select("src", "dst") else undirected(edges))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    var dist = seeds.select(col("tag"), col("node"), lit(0L).as("dist"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var iter = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && iter < maxIter) {
+      val expanded = frontier
+        .join(adj, frontier("node") === adj("src"))
+        .select(col("tag"), col("dst").as("node"), (col("dist") + 1).as("dist"))
+      // keep only strictly new (tag, node) pairs
+      val newFrontier = expanded
+        .join(dist.select(col("tag").as("t2"), col("node").as("n2")),
+              col("tag") === col("t2") && col("node") === col("n2"), "left_anti")
+        .groupBy("tag", "node").agg(min("dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      newFrontier.localCheckpoint(eager = true)
+      frontierSize = newFrontier.count()
+      if (frontierSize > 0) {
+        val nextDist = dist.union(newFrontier)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        nextDist.localCheckpoint(eager = true)
+        nextDist.count()
+        dist.unpersist(blocking = false)
+        dist = nextDist
+      }
+      frontier.unpersist(blocking = false)
+      frontier = newFrontier
+      iter += 1
+    }
+    adj.unpersist(blocking = false)
+    dist
+  }
+
+  /** Shortest distance between two node sets (Q3, analysis.py:116-161):
+    * min over BFS-from-A restricted to B; None (no row) when disconnected.
+    */
+  def setDistance(edges: DataFrame, setA: DataFrame, setB: DataFrame,
+                  method: String = "min"): DataFrame = {
+    val seeds = setA.select(lit("a").as("tag"), col("node"))
+    val d = multiSourceBfs(edges, seeds)
+      .join(setB.select(col("node")), Seq("node"), "left_semi")
+    method match {
+      case "min"  => d.agg(min("dist").as("dist"))
+      case "mean" => d.agg(avg("dist").as("dist"))
+      case other  => throw new IllegalArgumentException(s"method: $other")
+    }
+  }
+
+  /** All-pairs group distance matrix (Q4, analysis.py:180-272): one
+    * BFS labeled by group computes dist(group, node) for every group at
+    * once; pairing that against group membership yields the full long-form
+    * matrix (group_a, group_b, dist) with a single persisted intermediate
+    * — the distributed form of the reference's per-path Dijkstra cache,
+    * asserted ≥4× faster than naive pairwise in both implementations.
+    *
+    * `membership`: (tag, node). Unreachable pairs are absent (reference
+    * emits inf; callers outer-join against the tag cross product if dense
+    * output is needed — the S8 dense-export guard applies there).
+    */
+  def groupDistanceMatrix(edges: DataFrame, membership: DataFrame,
+                          method: String = "min"): DataFrame = {
+    val distAll = multiSourceBfs(edges, membership.select("tag", "node"))
+    val m = membership.select(col("tag").as("tag_b"), col("node"))
+    val pairs = distAll.join(m, Seq("node"))
+    val aggCol = method match {
+      case "min"  => min("dist")
+      case "mean" => avg("dist")
+      case other  => throw new IllegalArgumentException(s"method: $other")
+    }
+    pairs.groupBy(col("tag").as("tag_a"), col("tag_b")).agg(aggCol.as("dist"))
+  }
+
+  /** Graph summary stats (Q1, analysis.py:33-65). Components defaults to
+    * the generic propagation; callers with structural knowledge (e.g. the
+    * transcript base chain graph, components == conversations) may pass a
+    * cheaper exact count.
+    */
+  def stats(nodes: DataFrame, edges: DataFrame, paths: Long,
+            directed: Boolean, components: Option[Long] = None)
+           (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = nodes.count()
+    val m = edges.count()
+    val comp = components.getOrElse(
+      connectedComponents(edges, Some(nodes.select(col("node")))).
+        agg(countDistinct("label")).head().getLong(0))
+    val maxDeg = if (m == 0) 0L
+      else degrees(edges).agg(max("degree")).head().getLong(0)
+    val density =
+      if (n <= 1) 0.0
+      else if (directed) m.toDouble / (n.toDouble * (n - 1))
+      else 2.0 * m / (n.toDouble * (n - 1))
+    Seq((n, m, paths, comp, maxDeg, density))
+      .toDF("nodes", "edges", "paths", "components", "max_degree", "density")
+  }
+}

