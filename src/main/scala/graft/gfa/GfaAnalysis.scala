@@ -1,0 +1,69 @@
+package graft.gfa
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.Graph
+
+/** Query layer over parsed GFA graphs — the Spark re-expression of the
+  * reference's analysis module (analysis.py): stats, sequence distance,
+  * path (genome) distance, all-pairs path distance matrix.
+  */
+object GfaAnalysis {
+
+  /** Q1 compute_stats (analysis.py:33-65): nodes, edges, paths, connected
+    * components, max degree, density — all from one pass over the parsed
+    * record DataFrames (vs the reference's re-parse, S7). The reference
+    * defaults to a DiGraph here (analysis.py:36 `directed: bool = True`),
+    * hence the directed default; components are computed on the
+    * undirected view either way (to_undirected, analysis.py:54).
+    */
+  def computeStats(lines: DataFrame,
+                   opts: GfaOptions = GfaOptions(directed = true))
+                  (implicit spark: SparkSession): DataFrame = {
+    val nodes = GfaGraph.nodes(lines, opts)
+    val edges = GfaGraph.edges(lines, opts)
+    Graph.stats(nodes, edges, GfaGraph.pathCount(lines),
+                directed = opts.graphDirected)
+  }
+
+  /** Q2 sequence_distance (analysis.py:68-113): min hop distance between
+    * the node sets carrying exactly `seqA` / `seqB` as sequence payload.
+    * Empty result (no row / null dist) = NoPath or unknown sequence.
+    */
+  def sequenceDistance(lines: DataFrame, seqA: String, seqB: String,
+                       opts: GfaOptions = GfaOptions()): DataFrame = {
+    val segs = GfaParse.segments(lines)
+    val nodesFor = (s: String) =>
+      segs.where(col("sequence") === s).select(col("id").as("node"))
+    Graph.setDistance(GfaGraph.edges(lines, opts),
+                      nodesFor(seqA), nodesFor(seqB),
+                      method = "min")
+  }
+
+  /** Q3 genome_distance (analysis.py:116-161): min/mean distance between
+    * two paths' node sets.
+    */
+  def genomeDistance(lines: DataFrame, pathA: String, pathB: String,
+                     method: String = "min",
+                     opts: GfaOptions = GfaOptions()): DataFrame = {
+    val members = GfaParse.pathMembers(lines)
+    val setFor = (p: String) =>
+      members.where(col("name") === p).select(col("seg").as("node")).distinct()
+    Graph.setDistance(GfaGraph.edges(lines, opts), setFor(pathA), setFor(pathB),
+                      method)
+  }
+
+  /** Q4 genome_distance_matrix (analysis.py:180-272): long-form
+    * (tag_a, tag_b, dist) over all path pairs; the per-path-labeled BFS is
+    * computed once and persisted — the distributed form of the
+    * reference's per-path Dijkstra cache (≥4× vs naive pairwise).
+    * Unreachable pairs are absent (reference emits inf).
+    */
+  def genomeDistanceMatrix(lines: DataFrame, method: String = "min",
+                           opts: GfaOptions = GfaOptions()): DataFrame = {
+    val membership = GfaParse.pathMembers(lines)
+      .select(col("name").as("tag"), col("seg").as("node")).distinct()
+    Graph.groupDistanceMatrix(GfaGraph.edges(lines, opts), membership, method)
+  }
+}

@@ -82,24 +82,28 @@ object GfaParse {
     */
   def tagDouble(tags: Column, tag: String): Column = {
     val v = element_at(tags, tag)
-    when(tagTyp(v) === "i", tagVal(v).cast("int").cast("double"))
-      .when(tagTyp(v) === "f", tagVal(v).cast("double"))
+    when(tagTyp(v) === "i", tagVal(v).try_cast("int").cast("double"))
+      .when(tagTyp(v) === "f", tagVal(v).try_cast("double"))
   }
 
-  /** `B` tag → int array; entries that fail to parse become null elements
-    * (reference falls back to the raw string list — callers needing that
-    * use [[tagStringArray]]).
+  /** `B` tag → int array iff every non-empty comma-separated element
+    * (including the subtype prefix) parses as int, else null — callers
+    * fall back to [[tagStringArray]], matching the reference's
+    * try-ints-else-string-list semantics (parser.py:197-201, verified
+    * against the reference: `ZZ:B:c,1,2,3` → string list).
     */
   def tagIntArray(tags: Column, tag: String): Column = {
     val v = element_at(tags, tag)
-    when(tagTyp(v) === "B",
-         transform(filter(slice(split(tagVal(v), ","), 2, BIG), s => s =!= ""),
-                   s => s.cast("int")))
+    val elems = filter(split(tagVal(v), ","), s => s =!= "")
+    when(tagTyp(v) === "B" &&
+           size(filter(elems, s => s.try_cast("int").isNull)) === 0,
+         transform(elems, s => s.try_cast("int")))
   }
 
+  /** `B` tag raw element list (the reference's fallback representation). */
   def tagStringArray(tags: Column, tag: String): Column = {
     val v = element_at(tags, tag)
-    when(tagTyp(v) === "B", slice(split(tagVal(v), ","), 2, BIG))
+    when(tagTyp(v) === "B", split(tagVal(v), ","))
   }
 
   // -------------------------------------------------------------- records
@@ -116,11 +120,11 @@ object GfaParse {
     val third = f(2)
     val fourth = f(3)
     val tagShape = "^[^:]{2}:[^:]:" // 2-char tag, 1-char type, ≥2 colons
-    val thirdIsLen = col("nf") > 2 && third.cast("int").isNotNull
+    val thirdIsLen = col("nf") > 2 && third.try_cast("int").isNotNull
     val fourthIsTag = col("nf") > 3 && fourth.rlike(tagShape)
     r.select(Seq(
       f(1).as("id"),
-      when(thirdIsLen, third.cast("int")).as("length"),
+      when(thirdIsLen, third.try_cast("int")).as("length"),
       when(thirdIsLen,
            when(col("nf") > 3 && !fourthIsTag, fourth))
         .when(col("nf") > 2, third)
@@ -137,8 +141,12 @@ object GfaParse {
     * with +/- (`L u+ v- [ovl] tags…`, default "+").
     */
   def links(lines: DataFrame): DataFrame = {
+    // nf < 5 raises in the reference (parser.py:208) regardless of syntax
+    // — permissive mode drops those rows here; they surface via
+    // malformedRecords.
     val r = records(lines).where(col("rtype") === "L")
       .withColumn("nf", size(col("fields")))
+      .where(col("nf") >= 5)
     val explicitOri = f(2).isin("+", "-")
     def strip(c: Column) = regexp_replace(c, "[+-]+$", "")
     def suffixOri(c: Column) =
@@ -158,8 +166,8 @@ object GfaParse {
 
   private def coordFull(r: DataFrame): Column =
     col("nf") >= 9 &&
-      f(3).cast("int").isNotNull && f(4).cast("int").isNotNull &&
-      f(6).cast("int").isNotNull && f(7).cast("int").isNotNull
+      f(3).try_cast("int").isNotNull && f(4).try_cast("int").isNotNull &&
+      f(6).try_cast("int").isNotNull && f(7).try_cast("int").isNotNull
 
   private def strip(c: Column) = regexp_replace(c, "[+-]+$", "")
   private def endOri(c: Column): Column =
@@ -173,16 +181,17 @@ object GfaParse {
   def gfa2Edges(lines: DataFrame): DataFrame = {
     val r = records(lines).where(col("rtype") === "E")
       .withColumn("nf", size(col("fields")))
+      .where(col("nf") >= 6)
     val full = coordFull(r)
     r.select(Seq(
       when(full, strip(f(2))).otherwise(f(2)).as("from_id"),
       when(full, endOri(f(2))).otherwise(f(3)).as("from_orient"),
       when(full, strip(f(5))).otherwise(f(4)).as("to_id"),
       when(full, endOri(f(5))).otherwise(f(5)).as("to_orient"),
-      when(full, f(3).cast("int")).as("from_start"),
-      when(full, f(4).cast("int")).as("from_end"),
-      when(full, f(6).cast("int")).as("to_start"),
-      when(full, f(7).cast("int")).as("to_end"),
+      when(full, f(3).try_cast("int")).as("from_start"),
+      when(full, f(4).try_cast("int")).as("from_end"),
+      when(full, f(6).try_cast("int")).as("to_start"),
+      when(full, f(7).try_cast("int")).as("to_end"),
       when(full, f(8)).as("cigar"),
       tagMap(when(full, slice(col("fields"), 10, BIG))
                .otherwise(slice(col("fields"), 7, BIG))).as("tags"))
@@ -195,16 +204,17 @@ object GfaParse {
   def containments(lines: DataFrame): DataFrame = {
     val r = records(lines).where(col("rtype") === "C")
       .withColumn("nf", size(col("fields")))
+      .where(col("nf") >= 5)
     val full = coordFull(r)
     r.select(Seq(
       when(full, strip(f(2))).otherwise(f(1)).as("from_id"),
       when(full, endOri(f(2))).otherwise(f(2)).as("from_orient"),
       when(full, strip(f(5))).otherwise(f(3)).as("to_id"),
       when(full, endOri(f(5))).otherwise(f(4)).as("to_orient"),
-      when(full, f(3).cast("int")).as("from_start"),
-      when(full, f(4).cast("int")).as("from_end"),
-      when(full, f(6).cast("int")).as("to_start"),
-      when(full, f(7).cast("int")).as("to_end"),
+      when(full, f(3).try_cast("int")).as("from_start"),
+      when(full, f(4).try_cast("int")).as("from_end"),
+      when(full, f(6).try_cast("int")).as("to_start"),
+      when(full, f(7).try_cast("int")).as("to_end"),
       when(full, f(8)).as("cigar"),
       tagMap(when(full, slice(col("fields"), 10, BIG))
                .otherwise(slice(col("fields"), 6, BIG))).as("tags"))
@@ -217,6 +227,7 @@ object GfaParse {
     */
   def paths(lines: DataFrame): DataFrame = {
     val r = records(lines).where(col("rtype").isin("P", "O"))
+      .where(size(col("fields")) >= 3)
     r.select(Seq(
       f(1).as("name"),
       col("rtype"),

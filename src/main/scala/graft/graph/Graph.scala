@@ -16,12 +16,29 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
 
-  /** Per-node degree. Undirected degree = distinct-neighbor count after
-    * mirroring; classic partial+final hash aggregate (A7).
+  /** Per-node degree (A7), matching nx semantics on simple graphs:
+    * undirected = distinct-neighbor count; directed = in-degree +
+    * out-degree over distinct (src, dst) edges. Classic partial+final
+    * hash aggregate either way.
     */
-  def degrees(edges: DataFrame): DataFrame =
-    undirected(edges).groupBy("src").agg(count(lit(1)).as("degree"))
-      .withColumnRenamed("src", "node")
+  def degrees(edges: DataFrame, directed: Boolean = false): DataFrame =
+    if (directed) {
+      val d = edges.select("src", "dst").distinct()
+      d.select(col("src").as("node"))
+        .union(d.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    } else
+      undirected(edges).groupBy("src").agg(count(lit(1)).as("degree"))
+        .withColumnRenamed("src", "node")
+
+  /** Distinct edge count under nx add_edge-overwrite semantics: directed
+    * counts distinct ordered pairs; undirected distinct unordered pairs.
+    */
+  def edgeCount(edges: DataFrame, directed: Boolean): Long =
+    if (directed) edges.select("src", "dst").distinct().count()
+    else edges.select(least(col("src"), col("dst")).as("a"),
+                      greatest(col("src"), col("dst")).as("b"))
+      .distinct().count()
 
   /** Connected-component count via iterative min-label propagation (A8;
     * reference: nx.number_connected_components, analysis.py:54).
@@ -158,12 +175,12 @@ object Graph {
            (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val n = nodes.count()
-    val m = edges.count()
+    val m = edgeCount(edges, directed)
     val comp = components.getOrElse(
       connectedComponents(edges, Some(nodes.select(col("node")))).
         agg(countDistinct("label")).head().getLong(0))
     val maxDeg = if (m == 0) 0L
-      else degrees(edges).agg(max("degree")).head().getLong(0)
+      else degrees(edges, directed).agg(max("degree")).head().getLong(0)
     val density =
       if (n <= 1) 0.0
       else if (directed) m.toDouble / (n.toDouble * (n - 1))

@@ -1,0 +1,48 @@
+package graft.gfa
+
+import graft.SparkSuite
+
+/** Distance-query parity with tests/test_distance.py literals. */
+class GfaAnalysisSpec extends SparkSuite {
+
+  // SAMPLE_SEQ_GFA (test_distance.py:13)
+  private def seqGfa = gfaLines(
+    "S\ts1\tACGT", "S\ts2\tTTTT", "L\ts1\t+\ts2\t+\t0M")
+
+  // SAMPLE_PATH_GFA (test_distance.py:15)
+  private def pathGfa = gfaLines(
+    "S\ts1\t*", "S\ts2\t*", "S\ts3\t*",
+    "L\ts1\t+\ts2\t+\t0M", "L\ts2\t+\ts3\t+\t0M",
+    "P\tp1\ts1+,s2+\t*", "P\tp2\ts3+,s2+\t*")
+
+  test("sequence_distance == 1 (test_distance.py:25-29)") {
+    val d = GfaAnalysis.sequenceDistance(seqGfa, "ACGT", "TTTT").head()
+    assert(d.getLong(0) == 1L)
+  }
+
+  test("genome_distance min == 0 on overlapping paths (test_distance.py:32-37)") {
+    val d = GfaAnalysis.genomeDistance(pathGfa, "p1", "p2", "min").head()
+    assert(d.getLong(0) == 0L)
+  }
+
+  test("distance matrix = 2x2 zeros (test_distance.py:40-48)") {
+    val m = GfaAnalysis.genomeDistanceMatrix(pathGfa, "min")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(m == Map(("p1", "p1") -> 0L, ("p1", "p2") -> 0L,
+                    ("p2", "p1") -> 0L, ("p2", "p2") -> 0L))
+  }
+
+  test("duplicate sequences resolve to min distance (test_sequence_duplicates.py)") {
+    val lines = gfaLines(
+      "S\ta1\tACGT", "S\ta2\tACGT", "S\tb\tTTTT",
+      "L\ta1\t+\tb\t+\t0M", "L\tb\t+\ta2\t+\t0M")
+    val d = GfaAnalysis.sequenceDistance(lines, "ACGT", "TTTT").head()
+    assert(d.getLong(0) == 1L)
+  }
+
+  test("disconnected sets yield no distance row (NoPath analog)") {
+    val lines = gfaLines("S\ts1\tACGT", "S\ts2\tTTTT")
+    val d = GfaAnalysis.sequenceDistance(lines, "ACGT", "TTTT").collect()
+    assert(d.isEmpty || d(0).isNullAt(0))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edgeDf(pairs: (String, String)*) =
+    pairs.toDF("src", "dst")
+
+  test("connected components: two chains + isolated node") {
+    val edges = edgeDf(("a", "b"), ("b", "c"), ("x", "y"))
+    val nodes = Seq("a", "b", "c", "x", "y", "lonely").toDF("node")
+    val labels = Graph.connectedComponents(edges, Some(nodes))
+    val nComp = labels.agg(countDistinct("label")).head().getLong(0)
+    assert(nComp == 3)
+    // a,b,c share a label
+    val byNode = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byNode("a") == byNode("b") && byNode("b") == byNode("c"))
+    assert(byNode("x") == byNode("y"))
+    assert(byNode("lonely") != byNode("a"))
+  }
+
+  test("multi-source BFS hop distances on a chain") {
+    val edges = edgeDf(("n1", "n2"), ("n2", "n3"), ("n3", "n4"))
+    val seeds = Seq(("t", "n1")).toDF("tag", "node")
+    val d = Graph.multiSourceBfs(edges, seeds)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(d == Map("n1" -> 0L, "n2" -> 1L, "n3" -> 2L, "n4" -> 3L))
+  }
+
+  test("BFS with multiple tags computes all groups in one pass (A12)") {
+    val edges = edgeDf(("n1", "n2"), ("n2", "n3"))
+    val seeds = Seq(("p1", "n1"), ("p2", "n3")).toDF("tag", "node")
+    val d = Graph.multiSourceBfs(edges, seeds)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(d(("p1", "n3")) == 2L)
+    assert(d(("p2", "n1")) == 2L)
+    assert(d(("p1", "n1")) == 0L)
+  }
+
+  test("directed BFS respects direction") {
+    val edges = edgeDf(("n1", "n2"), ("n2", "n3"))
+    val seeds = Seq(("t", "n3")).toDF("tag", "node")
+    val d = Graph.multiSourceBfs(edges, seeds, directed = true).count()
+    assert(d == 1) // only the seed itself is reachable
+  }
+
+  test("degrees: undirected distinct-neighbor counts") {
+    val edges = edgeDf(("a", "b"), ("b", "c"), ("a", "b")) // dup edge
+    val deg = Graph.degrees(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deg == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
+}

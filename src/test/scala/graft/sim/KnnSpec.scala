@@ -1,0 +1,54 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class KnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  // deterministic synthetic vectors: 3 tight clusters in 8 dims
+  private lazy val vecs = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 90).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == c) 10.0f else 0.0f)
+      val jit = Array.tabulate(8)(d =>
+        base(d) + ((mix(i.toLong * 8 + d) % 100) / 1000.0f))
+      (i.toLong, jit.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: nearest neighbors share the cluster") {
+    val topk = Knn.bruteTopK(vecs, vecs.where(col("vec_id") < 3), 5)
+    val rows = topk.collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("nbr_id")
+      assert(q % 3 == n % 3, s"neighbor $n of query $q crosses clusters")
+      assert(r.getAs[Double]("sim") > 0.99)
+    }
+  }
+
+  test("cosine self-similarity is 1.0") {
+    val s = vecs.limit(1).select(
+      Knn.cosine(col("embedding"), col("embedding")).as("s")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-9)
+  }
+
+  test("LSH top-k recall vs brute force ≥ 0.8 on clustered data") {
+    val q = vecs.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val brute = pairs(Knn.bruteTopK(vecs, q, 5))
+    val lsh = pairs(Knn.lshTopK(vecs, q, 5, bits = 16, bandBits = 4))
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest to hide from every hunter nearby"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                     // exact dup of 0
+    (2L, base.replace("quick", "swift")),           // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer " +
+         "rules and physical plans for distributed joins at scale"),
+    (4L, "  THE  quick brown fox jumps over the lazy dog and then runs far " +
+         "away into the deep dark forest to hide from every hunter nearby")
+  ).toDF("doc_id", "text")                          // 4 = case/ws variant of 0
+
+  test("exact dedup groups case/whitespace variants (fingerprint)") {
+    val g = Dedup.exact(docs)
+    val dupGroup = g.where(col("n_docs") === 3).collect()
+    assert(dupGroup.length == 1)       // docs 0, 1, 4 share the fingerprint
+    assert(dupGroup(0).getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val nd = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 2L)) || nd.contains((0L, 1L)))
+    // near-dup 2 must surface against one of the identical trio
+    assert(nd.exists { case (a, b) => (a == 2L) || (b == 2L) })
+  }
+
+  test("jaccard: identical docs = 1.0, unrelated < 0.2") {
+    val cands = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(docs, cands, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 3L)) < 0.2)
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(1L)) == 0)   // identical text
+    assert(hamming(sigs(0L), sigs(2L)) <= 12)  // one word changed
+    assert(hamming(sigs(0L), sigs(3L)) > 12)   // unrelated
+  }
+
+  test("quality + langid heuristics behave on obvious inputs") {
+    val q = TextAnalysis.quality(docs).where(col("doc_id") === 0).head()
+    assert(q.getAs[Boolean]("is_quality"))
+    val lang = docs.select(col("doc_id"),
+      TextAnalysis.langPrediction(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(0L) == "en")
+  }
+}
