@@ -1,0 +1,76 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The CEP query surface over a (possibly streaming) Turn DataFrame —
+  * the north-rule operators T2-T5. Every query here runs identically on a
+  * batch DataFrame (ScalaTest parity) and on a watermarked stream.
+  *
+  * Event time is `ts`; `watermark` (e.g. "10 minutes") bounds state:
+  * session windows close, window aggregates finalize, and join state is
+  * evicted once the watermark passes — at 10^12 turns the state footprint
+  * is O(open sessions), never O(history).
+  */
+object CepQueries {
+
+  /** T3 — session-window conversation segmentation (CEP query #1; the
+    * streaming form of split-on-alignment, builders.py:302-430).
+    */
+  def sessionStats(turns: DataFrame, watermark: String = "10 minutes",
+                   gap: String = "30 minutes"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_turns"),
+           min("ts").as("start_ts"),
+           max("ts").as("end_ts"),
+           sum(when(col("role") === "user", 1).otherwise(0)).as("n_user"),
+           sum(when(col("tool").isNotNull, 1).otherwise(0)).as("n_tool"))
+      .select(col("conv_id"), col("n_turns"), col("start_ts"), col("end_ts"),
+              col("n_user"), col("n_tool"))
+
+  /** T4 — tumbling/sliding per-tool turn-rate (CEP query #2; the
+    * event-time form of the 500k-line progress cadence,
+    * builders.py:257-258). `slide` = None → tumbling.
+    */
+  def turnRate(turns: DataFrame, watermark: String = "10 minutes",
+               width: String = "1 hour", slide: Option[String] = None)
+      : DataFrame = {
+    val win = slide.map(s => window(col("ts"), width, s))
+      .getOrElse(window(col("ts"), width))
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("tool"))
+      .agg(count(lit(1)).as("n_turns"),
+           approx_count_distinct("conv_id").as("n_convs_approx"))
+      .select(col("w.start").as("window_start"), col("tool"),
+              col("n_turns"), col("n_convs_approx"))
+  }
+
+  /** T5/J6 — stateful stream-stream join pairing each user turn with the
+    * following assistant turn (CEP query #3; Link-building analog,
+    * builders.py:199-256). Both sides watermarked; the time-range
+    * condition (`asst.ts` within [user.ts, user.ts + maxWait]) bounds join
+    * state, so each side's buffer is O(turns within the watermark+range
+    * horizon) — the required shape for unbounded inputs.
+    */
+  def userAssistantJoin(turns: DataFrame, watermark: String = "10 minutes",
+                        maxWait: String = "2 hours"): DataFrame = {
+    val u = turns.where(col("role") === "user")
+      .select(col("conv_id").as("u_conv"), col("turn_idx").as("user_idx"),
+              col("ts").as("user_ts"))
+      .withWatermark("user_ts", watermark)
+    val a = turns.where(col("role") === "assistant")
+      .select(col("conv_id").as("a_conv"), col("turn_idx").as("asst_idx"),
+              col("ts").as("asst_ts"))
+      .withWatermark("asst_ts", watermark)
+    u.join(a,
+        col("u_conv") === col("a_conv") &&
+        col("asst_idx") === col("user_idx") + 1 &&
+        col("asst_ts") >= col("user_ts") &&
+        col("asst_ts") <= col("user_ts") + expr(s"INTERVAL $maxWait"))
+      .select(col("u_conv").as("conv_id"), col("user_idx"), col("asst_idx"),
+              expr("timestampdiff(MICROSECOND, user_ts, asst_ts)").as("latency_us"))
+  }
+}

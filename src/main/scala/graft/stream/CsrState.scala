@@ -1,0 +1,112 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.schema.Turn
+
+/** Per-conversation incremental CSR adjacency state (T6) — the streaming
+  * reinterpretation of the reference's builder accumulators: `node2idx` +
+  * COO rows/cols/data (builders.py:145-148, 190-230) finalized to CSR
+  * (utils.py:40-63), held as keyed state in `flatMapGroupsWithState`.
+  *
+  * State per conv_id is O(turns in that conversation): a sorted compressed
+  * set of seen turn indices plus the CSR arrays of the chain adjacency.
+  * Event-time timeout evicts conversations once the watermark passes
+  * `idleTimeout` beyond their last turn, emitting a final summary — the
+  * unbounded-input guarantee the north rule demands.
+  */
+object CsrState {
+
+  /** Keyed state: seen turn indices (sorted, deduped) + last event time.
+    * CSR arrays are derived on emit (chain adjacency: indptr/indices over
+    * consecutive present indices) rather than stored — recomputing from
+    * the sorted index set is O(n) and keeps the state minimal.
+    */
+  case class ConvState(seen: Array[Int], lastTsMs: Long, finalized: Boolean)
+
+  /** Per-batch (and final, on timeout) conversation summary with CSR
+    * shape: nnz = edges between consecutive present turn indices.
+    */
+  case class ConvUpdate(
+      conv_id: String,
+      n_turns: Int,
+      n_edges: Int,
+      min_idx: Int,
+      max_idx: Int,
+      contiguous: Boolean,
+      is_final: Boolean,
+      last_ts: Timestamp)
+
+  /** CSR derivation from the sorted seen-index set: edge i→j for
+    * consecutive j = i+1 both present (the transcript Link rule, W3).
+    */
+  def csrOf(seen: Array[Int]): (Array[Int], Array[Int]) = {
+    val present = seen.toSet
+    val indices = seen.filter(i => present.contains(i + 1)).map(_ + 1)
+    val indptr = new Array[Int](seen.length + 1)
+    var k = 0
+    seen.zipWithIndex.foreach { case (i, row) =>
+      if (present.contains(i + 1)) k += 1
+      indptr(row + 1) = k
+    }
+    (indptr, indices)
+  }
+
+  def update(idleTimeoutMs: Long)(
+      convId: String, turns: Iterator[Turn], state: GroupState[ConvState])
+      : Iterator[ConvUpdate] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      val out = summarize(convId, s, isFinal = true)
+      state.remove()
+      Iterator.single(out)
+    } else {
+      val incoming = turns.toArray
+      val prev = state.getOption.getOrElse(ConvState(Array.empty, 0L, false))
+      val seen = (prev.seen ++ incoming.map(_.turn_idx)).distinct.sorted
+      val lastTs = math.max(prev.lastTsMs,
+        if (incoming.isEmpty) 0L else incoming.map(_.ts.getTime).max)
+      val next = ConvState(seen, lastTs, finalized = false)
+      state.update(next)
+      state.setTimeoutTimestamp(lastTs + idleTimeoutMs)
+      Iterator.single(summarize(convId, next, isFinal = false))
+    }
+  }
+
+  private def summarize(convId: String, s: ConvState,
+                        isFinal: Boolean): ConvUpdate = {
+    val (indptr, indices) = csrOf(s.seen)
+    ConvUpdate(
+      convId,
+      n_turns = s.seen.length,
+      n_edges = indices.length,
+      min_idx = if (s.seen.isEmpty) -1 else s.seen.head,
+      max_idx = if (s.seen.isEmpty) -1 else s.seen.last,
+      contiguous = s.seen.nonEmpty &&
+        s.seen.last - s.seen.head + 1 == s.seen.length,
+      is_final = isFinal,
+      last_ts = new Timestamp(s.lastTsMs))
+  }
+
+  /** Wire the operator over a typed turn stream. The input must carry a
+    * watermark on `ts` for EventTimeTimeout to fire.
+    */
+  def attach(turns: Dataset[Turn], idleTimeout: String = "1 hour")
+      : Dataset[ConvUpdate] = {
+    implicit val stateEnc = Encoders.product[ConvState]
+    implicit val outEnc = Encoders.product[ConvUpdate]
+    val ms = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val timeoutMs = ms.months * 2592000000L + ms.days * 86400000L +
+      ms.microseconds / 1000L
+    turns
+      .groupByKey(_.conv_id)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update(timeoutMs))
+  }
+}

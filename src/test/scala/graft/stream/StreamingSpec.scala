@@ -1,0 +1,171 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.gen.SynthTranscripts
+import graft.ops.{Pairing, Sessions}
+import graft.schema.Turn
+
+/** Streaming == batch parity (SURVEY §5 test 3) via MemoryStream, plus
+  * watermark/late-data and CSR-state behavior.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val data = SynthTranscripts.turnRows(8, 10)
+  private val maxTs = data.map(_.ts.getTime).max
+
+  /** Sentinel far in the future: advances the watermark so every window /
+    * join row of the real data finalizes in append mode.
+    */
+  private val sentinel = Turn("zz_sentinel", 0, "user", "s", None,
+    new Timestamp(maxTs + 48L * 3600 * 1000))
+
+  private def runToCompletion(q: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ms = MemoryStream[Turn](
+      implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+    // two micro-batches in EVENT-TIME order (an out-of-order split would
+    // make the second batch legitimately late → dropped by the watermark,
+    // which the dedicated T2 test covers), then the sentinel flush
+    val sorted = data.sortBy(_.ts.getTime)
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    val out = q(ms.toDF())
+    val query = out.writeStream.format("memory")
+      .queryName(s"parity_${System.nanoTime()}").outputMode("append").start()
+    ms.addData(b1)
+    query.processAllAvailable()
+    ms.addData(b2)
+    query.processAllAvailable()
+    ms.addData(Seq(sentinel))
+    query.processAllAvailable()
+    val streamed = spark.table(query.name)
+    (streamed, spark.createDataset(data).toDF())
+  }
+
+  test("T4 turn-rate: streaming append == batch (excluding sentinel rows)") {
+    val (streamed, batch) = runToCompletion(df =>
+      CepQueries.turnRate(df, watermark = "1 minute", width = "1 hour"))
+    val s = streamed.where(!col("window_start").isNull)
+      .where(col("n_turns") > 0)
+      .where(col("window_start") <= new Timestamp(maxTs))
+      .select("window_start", "tool", "n_turns")
+    val b = CepQueries.turnRate(batch, "1 minute", "1 hour")
+      .select("window_start", "tool", "n_turns")
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
+  test("T3 session windows: streaming append == batch sessions") {
+    val (streamed, batch) = runToCompletion(df =>
+      CepQueries.sessionStats(df, watermark = "1 minute", gap = "30 minutes"))
+    val s = streamed.where(col("conv_id") =!= sentinel.conv_id)
+      .select("conv_id", "n_turns", "start_ts", "end_ts")
+    val b = Sessions.bySessionWindow(batch, "30 minutes")
+      .select("conv_id", "n_turns", "start_ts", "end_ts")
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
+  test("T5 stream-stream join == batch pairing") {
+    val (streamed, batch) = runToCompletion(df =>
+      CepQueries.userAssistantJoin(df, watermark = "1 minute", maxWait = "2 hours"))
+    val s = streamed.select("conv_id", "user_idx", "asst_idx", "latency_us")
+    // batch twin restricted to the same maxWait horizon
+    val b = Pairing.userAssistant(batch, maxGapSec = 7200)
+      .select("conv_id", "user_idx", "asst_idx", "latency_us")
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
+  test("T6 CSR state: incremental updates + event-time timeout finalization") {
+    val ms = MemoryStream[Turn](
+      implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+    val withWm = ms.toDS().withWatermark("ts", "1 minute")
+    val updates = CsrState.attach(withWm, idleTimeout = "10 minutes")
+    val query = updates.toDF().writeStream.format("memory")
+      .queryName("csr_out").outputMode("append").start()
+
+    def turn(c: String, i: Int, tsMin: Long) =
+      Turn(c, i, if (i % 2 == 0) "user" else "assistant", s"t$i", None,
+           new Timestamp(1700000000000L + tsMin * 60000))
+    ms.addData(Seq(turn("A", 0, 0), turn("A", 1, 1), turn("B", 0, 0)))
+    query.processAllAvailable()
+    ms.addData(Seq(turn("A", 2, 3)))
+    query.processAllAvailable()
+    // far-future event drives watermark past A/B idle timeout
+    ms.addData(Seq(turn("C", 0, 600)))
+    query.processAllAvailable()
+    ms.addData(Seq(turn("C", 1, 601))) // one more batch so timeouts fire
+    query.processAllAvailable()
+    val out = spark.table("csr_out").collect()
+
+    val aUpdates = out.filter(r => r.getAs[String]("conv_id") == "A")
+    assert(aUpdates.exists(r => r.getAs[Int]("n_turns") == 2 && !r.getAs[Boolean]("is_final")))
+    assert(aUpdates.exists(r => r.getAs[Int]("n_turns") == 3 &&
+      r.getAs[Int]("n_edges") == 2 && r.getAs[Boolean]("contiguous")))
+    val aFinal = aUpdates.filter(_.getAs[Boolean]("is_final"))
+    assert(aFinal.length == 1, s"expected one final A row, got ${aFinal.length}")
+    query.stop()
+  }
+
+  test("csrOf: CSR arrays from sparse seen-set") {
+    val (indptr, indices) = CsrState.csrOf(Array(0, 1, 2, 5, 6))
+    assert(indices.toSeq == Seq(1, 2, 6))   // edges 0→1, 1→2, 5→6
+    // rows: 0 has 1 edge, 1 has 1, 2 none, 5 has 1, 6 none
+    assert(indptr.toSeq == Seq(0, 1, 2, 2, 3, 3))
+  }
+
+  test("T9 sink: upsert is idempotent under batch replay, lineage recorded") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val table = s"$dir/table"
+    val lineage = s"$dir/lineage"
+    val d = spark.createDataset(data).toDF()
+    val (b1, b2) = (d.where(col("turn_idx") < 5), d.where(col("turn_idx") >= 5))
+
+    TranscriptSink.upsertBatch(spark, table, b1, 0L, Some(lineage))
+    val after1 = spark.read.parquet(table).count()
+    TranscriptSink.upsertBatch(spark, table, b2, 1L, Some(lineage))
+    val after2 = spark.read.parquet(table).count()
+    assert(after2 == data.length)
+    // replay batch 0 (checkpoint restart semantics) → nothing changes
+    TranscriptSink.upsertBatch(spark, table, b1, 0L, Some(lineage))
+    val after3 = spark.read.parquet(table)
+    assert(after3.count() == data.length)
+    assert(after3.groupBy("conv_id", "turn_idx").count()
+      .where(col("count") > 1).isEmpty)
+    assert(after1 == b1.count())
+    // lineage: batch rows idempotent per batch_id, counts match
+    val lin = Lineage.read(spark, lineage)
+    val perBatch = lin.groupBy("batch_id").agg(sum("row_count").as("rows"))
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("rows")).toMap
+    assert(perBatch(0L) == b1.count() && perBatch(1L) == b2.count())
+  }
+
+  test("T2 watermark: late rows are dropped and counted") {
+    val ms = MemoryStream[Turn](
+      implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+    val metrics = new Metrics
+    spark.streams.addListener(metrics)
+    try {
+      val agg = CepQueries.turnRate(ms.toDF(), watermark = "10 minutes",
+                                    width = "5 minutes")
+      val query = agg.writeStream.format("memory")
+        .queryName("late_out").outputMode("append").start()
+      def at(min: Long, c: String = "L") =
+        Turn(c, 0, "user", "x", None, new Timestamp(1700000000000L + min * 60000))
+      ms.addData(Seq(at(0), at(1), at(2)))
+      query.processAllAvailable()
+      ms.addData(Seq(at(120)))          // advances watermark to ~110min
+      query.processAllAvailable()
+      ms.addData(Seq(at(3)))            // 3min << watermark → late, dropped
+      query.processAllAvailable()
+      query.processAllAvailable()
+      assert(metrics.totalLateDropped >= 1,
+        s"late drops=${metrics.totalLateDropped}")
+      query.stop()
+    } finally spark.streams.removeListener(metrics)
+  }
+}
