@@ -66,15 +66,21 @@ object SparkEntry {
     "q_role_cube" -> ((s, dir) => Rates.roleToolCube(T(s, dir))),
     "q_pairing" -> ((s, dir) => Pairing.userAssistant(T(s, dir))),
     "q_degree_hist" -> ((s, dir) => {
+      import s.implicits._
       val t = T(s, dir)
       val e = TurnGraph.edges(t).select(
         TurnGraph.nodeId(col("conv_id"), col("src_idx")).as("src"),
         TurnGraph.nodeId(col("conv_id"), col("dst_idx")).as("dst"))
       val deg = Graph.degrees(e)
-      t.select(TurnGraph.nodeId(col("conv_id"), col("turn_idx")).as("node"))
-        .join(deg, Seq("node"), "left")
-        .select(coalesce(col("degree"), lit(0L)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      // zero-degree nodes (single-turn convs) by subtraction: total turns
+      // is the events rowcount (derivation is bijective) — a metadata-only
+      // scan instead of a nodes×degrees join
+      val total = s.read.parquet(s"$dir/events.parquet").count()
+      val withEdges = deg.count()
+      val zero = total - withEdges
+      if (zero > 0) hist.unionByName(Seq((0L, zero)).toDF("degree", "n_nodes"))
+      else hist
     }),
     "q_coo_sym" -> ((s, dir) =>
       TurnGraph.symmetrize(TurnGraph.coo(TurnGraph.edges(T(s, dir)), DupMode.Sum))),
@@ -84,6 +90,33 @@ object SparkEntry {
            min(TurnGraph.nodeId(col("conv_id"), col("turn_idx"))).as("first_node"))
       .where(col("n_occurrences") > 1)),
 
+    "q_sliding_rate" -> ((s, dir) =>
+      Rates.slidingPerRole(T(s, dir), "2 hours", "1 hour")),
+    // Q2 analog: min hop distance between two text classes over the
+    // conversation chain graph — closed form (|iₐ−i_b| within a conv); the
+    // generic BFS kernel is validated against this class of answers in
+    // GfaAnalysisSpec/GraphSpec.
+    "q_text_distance" -> ((s, dir) => {
+      val t = T(s, dir)
+      val a = t.where(col("text").startsWith("click#"))
+        .select(col("conv_id"), col("turn_idx").as("ai"))
+      val b = t.where(col("text").startsWith("error#"))
+        .select(col("conv_id"), col("turn_idx").as("bi"))
+      a.join(b, "conv_id")
+        .agg(min(abs(col("ai") - col("bi"))).as("dist"))
+    }),
+    // Q4 analog: conversation-pair similarity by shared turn text (paths
+    // sharing segments → distance 0 pairs), bounded to two users' convs
+    "q_conv_overlap" -> ((s, dir) => {
+      val t = T(s, dir)
+        .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
+        .select("conv_id", "text").distinct()
+      t.as("a").join(t.as("b"),
+          col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
+        .groupBy(col("a.conv_id").as("conv_a"), col("b.conv_id").as("conv_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // --- training-data pipeline: documents ---
     "q_doc_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_doc_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))
@@ -92,12 +125,7 @@ object SparkEntry {
     "q_doc_lang" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), col("lang"),
               TextAnalysis.langPrediction(col("text")).as("pred_lang"))),
-    "q_minhash_neardups" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val cands = Dedup.minhashCandidates(d, "doc_id", "text")
-      Dedup.jaccardVerify(d, cands, "doc_id", "text")
-        .orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(200)
-    }),
+    "q_minhash_neardups" -> ((s, dir) => Dedup.minhashRanked(docs(s, dir))),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir), maxHamming = 16)),
 
@@ -112,6 +140,17 @@ object SparkEntry {
       Knn.lshTopK(e, e.where(col("vec_id") < 20), 5)
         .select("query_id", "nbr_id", "rank")
     }),
+
+    // --- multimodal plumbing (decode kernels stubbed; see graft.mm) ---
+    "q_mm_features" -> ((s, dir) =>
+      graft.mm.Media.features(graft.mm.Media.attach(docs(s, dir)))
+        .select(col("media_id"), size(col("feature")).as("dim"),
+                round(element_at(col("feature"), 1), 4).as("f0"))),
+    "q_mm_frames" -> ((s, dir) =>
+      graft.mm.Media.sampleFrames(graft.mm.Media.attach(docs(s, dir)))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+             sum(length(col("frame_bytes"))).as("bytes_kept"))),
 
     // --- relational muscle (joins/aggregates over the TPC-H-ish tables) ---
     "q1_agg" -> ((s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
@@ -174,6 +213,22 @@ object SparkEntry {
         |  ON u.conv_id = a.conv_id AND a.turn_idx = u.turn_idx + 1
         |WHERE u.role = 'user' AND a.role = 'assistant'
         |  AND date_diff('microsecond', u.ts, a.ts) BETWEEN 0 AND 31536000000000""".stripMargin),
+    "q_sliding_rate" -> tsql(
+      """SELECT ws AS window_start, role, COUNT(*) AS n_turns FROM (
+        |  SELECT date_trunc('hour', ts) AS ws, role FROM turns
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, role FROM turns
+        |) GROUP BY 1, 2""".stripMargin),
+    "q_text_distance" -> tsql(
+      """SELECT MIN(ABS(a.turn_idx - b.turn_idx)) AS dist
+        |FROM turns a JOIN turns b ON a.conv_id = b.conv_id
+        |WHERE a.text LIKE 'click#%' AND b.text LIKE 'error#%'""".stripMargin),
+    "q_conv_overlap" -> tsql(
+      """, ct AS (SELECT DISTINCT conv_id, text FROM turns
+        |          WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%')
+        |SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, COUNT(*) AS n_shared
+        |FROM ct a JOIN ct b ON a.text = b.text AND a.conv_id < b.conv_id
+        |GROUP BY 1, 2""".stripMargin),
     "q_degree_hist" -> tsql(
       """, conv_sizes AS (SELECT conv_id, COUNT(*) AS n FROM turns GROUP BY conv_id),
         |deg AS (

@@ -36,9 +36,17 @@ object GfaAnalysis {
     val segs = GfaParse.segments(lines)
     val nodesFor = (s: String) =>
       segs.where(col("sequence") === s).select(col("id").as("node"))
-    Graph.setDistance(GfaGraph.edges(lines, opts),
-                      nodesFor(seqA), nodesFor(seqB),
-                      method = "min")
+    val edges = GfaGraph.edges(lines, opts)
+    if (opts.weightTag.isDefined)
+      // the reference always runs Dijkstra with weight="weight" (absent
+      // attr = 1); with no weight tag that equals hop BFS, so the cheaper
+      // kernel serves the unweighted case below
+      Graph.weightedMultiSourceDist(edges,
+          nodesFor(seqA).select(lit("a").as("tag"), col("node")))
+        .join(nodesFor(seqB), Seq("node"), "left_semi")
+        .agg(min("dist").as("dist"))
+    else
+      Graph.setDistance(edges, nodesFor(seqA), nodesFor(seqB), method = "min")
   }
 
   /** Q3 genome_distance (analysis.py:116-161): min/mean distance between

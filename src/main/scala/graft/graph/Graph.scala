@@ -126,19 +126,73 @@ object Graph {
     dist
   }
 
-  /** Shortest distance between two node sets (Q3, analysis.py:116-161):
-    * min over BFS-from-A restricted to B; None (no row) when disconnected.
+  /** Shortest distance between two node sets (Q3, analysis.py:116-161).
+    * `min`: one multi-source BFS from A, min over B (the reference's
+    * multi_source_dijkstra). `mean`: average over all REACHABLE (u, v)
+    * PAIRS — the reference loops pairwise (analysis.py:148-158); here one
+    * BFS labeled per source node computes every d(u, ·) at once (the
+    * O(|A|·|B|) quadratic-cost warning applies to labels, not rounds).
+    * No row / null = NoPath.
     */
   def setDistance(edges: DataFrame, setA: DataFrame, setB: DataFrame,
-                  method: String = "min"): DataFrame = {
-    val seeds = setA.select(lit("a").as("tag"), col("node"))
-    val d = multiSourceBfs(edges, seeds)
-      .join(setB.select(col("node")), Seq("node"), "left_semi")
-    method match {
-      case "min"  => d.agg(min("dist").as("dist"))
-      case "mean" => d.agg(avg("dist").as("dist"))
-      case other  => throw new IllegalArgumentException(s"method: $other")
+                  method: String = "min"): DataFrame = method match {
+    case "min" =>
+      multiSourceBfs(edges, setA.select(lit("a").as("tag"), col("node")))
+        .join(setB.select(col("node")), Seq("node"), "left_semi")
+        .agg(min("dist").as("dist"))
+    case "mean" =>
+      multiSourceBfs(edges, setA.select(col("node").as("tag"), col("node")))
+        .join(setB.select(col("node")), Seq("node"), "left_semi")
+        .agg(avg("dist").as("dist"))
+    case other => throw new IllegalArgumentException(s"method: $other")
+  }
+
+  /** Weighted multi-source shortest path (the Dijkstra analog the
+    * reference gets from weight="weight"; absent weight = 1.0). Iterative
+    * label-correcting relaxation on DataFrames: each round extends every
+    * improved frontier by one edge; converges once no (tag, node) improves.
+    */
+  def weightedMultiSourceDist(edges: DataFrame, seeds: DataFrame,
+                              directed: Boolean = false,
+                              maxIter: Int = 64): DataFrame = {
+    val w = coalesce(col("weight").cast("double"), lit(1.0)).as("w")
+    val adjBase = edges.select(col("src"), col("dst"), w)
+    val adj = (if (directed) adjBase
+               else adjBase.union(
+                 edges.select(col("dst").as("src"), col("src").as("dst"), w)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    var dist = seeds.select(col("tag"), col("node"), lit(0.0).as("dist"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var iter = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && iter < maxIter) {
+      val candidates = frontier.join(adj, frontier("node") === adj("src"))
+        .select(col("tag"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("tag", "node").agg(min("dist").as("dist"))
+      val improved = candidates.as("c")
+        .join(dist.as("d"), Seq("tag", "node"), "left")
+        .where(col("d.dist").isNull || col("c.dist") < col("d.dist"))
+        .select(col("tag"), col("node"), col("c.dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      improved.localCheckpoint(eager = true)
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        val nextDist = dist.union(improved)
+          .groupBy("tag", "node").agg(min("dist").as("dist"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        nextDist.localCheckpoint(eager = true)
+        nextDist.count()
+        dist.unpersist(blocking = false)
+        dist = nextDist
+      }
+      frontier.unpersist(blocking = false)
+      frontier = improved
+      iter += 1
     }
+    adj.unpersist(blocking = false)
+    dist
   }
 
   /** All-pairs group distance matrix (Q4, analysis.py:180-272): one

@@ -4,23 +4,25 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.VecFunctions.vec_dot
+
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the correctness baseline, and an
   * LSH-bucketed (random-hyperplane) variant as the scale path.
   *
-  * All vector math is `zip_with`/`aggregate` over array columns in double
-  * precision — codegen'd, no UDFs, no driver-side collection.
+  * The inner product is a custom codegen'd Catalyst expression
+  * ([[graft.functions.FloatVecDot]]); norms are computed once per side
+  * before the join, so the O(|q|·|corpus|) hot loop does exactly one
+  * array traversal per pair.
   */
 object Knn {
 
-  /** Σ a[i]*b[i] in double precision, sequential in array order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
+  /** Σ a[i]*b[i] in double precision (codegen'd, no per-element lambda). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = vec_dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: every query row against every corpus row.
     * The query side should be small (it is broadcast); ties broken by
@@ -31,10 +33,13 @@ object Knn {
                 idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-              cosine(col("q_vec"), col("nbr_vec")).as("sim"))
+              (vec_dot(col("q_vec"), col("nbr_vec")) /
+                (col("q_norm") * col("nbr_norm"))).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -23,48 +23,74 @@ object TranscriptSink {
   val mergeKeys = Seq("conv_id", "turn_idx")
 
   /** Upsert one micro-batch: new keys are inserted, existing keys win
-    * (insert-once, matching node2idx). Returns rows actually inserted.
+    * (insert-once, matching node2idx).
     */
   def upsertBatch(spark: SparkSession, tablePath: String,
                   batch: DataFrame, batchId: Long,
-                  lineagePath: Option[String] = None): Long = {
+                  lineagePath: Option[String] = None): Unit = {
+    // range-cluster by (day, conv_id) BEFORE writing: without this, the
+    // dropDuplicates hash shuffle spreads every day across every task and
+    // partitionBy(day) then writes tasks × days small files per batch —
+    // a file-count explosion that degrades every later read. Clustered,
+    // each day lands in a few contiguous tasks: O(tasks) files per batch.
     val withDay = batch
       .dropDuplicates(mergeKeys)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartitionByRange(col("day"), col("conv_id"))
     val days = withDay.select("day").distinct().collect().map(_.getString(0))
-    if (days.isEmpty) return 0L
+    if (days.isEmpty) return
 
-    val existing =
-      try spark.read.parquet(tablePath).where(col("day").isin(days: _*))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.emptyDataFrame }
-    // localCheckpoint materializes the merge BEFORE the overwrite starts:
-    // it truncates the plan so the write job no longer references the
-    // table path it is about to rewrite (read-overwrite-same-path hazard).
-    val merged =
-      (if (existing.isEmpty) withDay
-       else {
-         val fresh = withDay.join(
-           existing.select(mergeKeys.map(col): _*), mergeKeys, "left_anti")
-         existing.select(withDay.columns.map(col): _*).unionByName(fresh)
-       }).localCheckpoint(true)
-    val inserted = merged.count() - (if (existing.isEmpty) 0L else existing.count())
+    // MERGE-shaped write (what Iceberg MERGE INTO does at the file level):
+    // day partitions with no existing data take the cheap append path; only
+    // partitions that already hold rows are read back, anti-joined, and
+    // rewritten. For an in-order stream, steady state is pure append with a
+    // one-partition merge at each day boundary.
+    val existingDays = listDays(spark, tablePath).toSet
+    val (mergeDays, appendDays) = days.partition(existingDays.contains)
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      merged
+    if (appendDays.nonEmpty)
+      withDay.where(col("day").isin(appendDays: _*))
         .sortWithinPartitions("conv_id", "turn_idx") // stable order invariant
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("day")
-        .parquet(tablePath)
-    finally prev.foreach(
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        .write.mode(SaveMode.Append).partitionBy("day").parquet(tablePath)
+
+    if (mergeDays.nonEmpty) {
+      val incoming = withDay.where(col("day").isin(mergeDays: _*))
+      val existing = spark.read.parquet(tablePath)
+        .where(col("day").isin(mergeDays: _*))
+      val fresh = incoming.join(
+        existing.select(mergeKeys.map(col): _*), mergeKeys, "left_anti")
+      // localCheckpoint materializes the merge BEFORE the overwrite: it
+      // truncates the plan so the write job no longer references the table
+      // path it is about to rewrite (read-overwrite-same-path hazard).
+      val merged = existing.select(incoming.columns.map(col): _*)
+        .unionByName(fresh).localCheckpoint(true)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        merged
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("day")
+          .parquet(tablePath)
+      finally prev.foreach(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
 
     lineagePath.foreach { lp =>
       Lineage.record(spark, lp, batchId, withDay)
     }
-    inserted
+  }
+
+  /** day=... partition values currently present in the table directory. */
+  private def listDays(spark: SparkSession, tablePath: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(_.stripPrefix("day="))
   }
 
   /** Attach the sink to a streaming Turn source. */

@@ -33,30 +33,33 @@ object Dedup {
         s => s.isNotNull))
   }
 
-  /** MinHash signature: sig[h] = min over shingles of xxhash64(h, shingle)
-    * for h in 0 until numHashes — the standard one-permutation-per-seed
-    * construction, fully codegen'd (no UDF).
+  /** Distinct shingle hash set per doc: each shingle string is xxhash64'd
+    * ONCE; all downstream minhash/jaccard math runs on longs (8-byte
+    * hashes) instead of re-hashing ~30-char strings numHashes times.
+    * Hash collisions are negligible for dedup purposes (2^-64 per pair).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+  def shingleHashSet(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** MinHash signature over pre-hashed shingles: sig[h] = min over
+    * xxhash64(h, base) — per-seed rehash of an 8-byte long, codegen'd.
+    */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { h =>
-      array_min(transform(shingleArr, s => xxhash64(lit(h), s)))
+      array_min(transform(shingleHashes, x => xxhash64(lit(h), x)))
     }: _*)
 
-  /** Candidate near-duplicate pairs via LSH banding: signatures are split
-    * into `bands` bands of numHashes/bands rows; docs sharing any band
-    * hash become a candidate pair. Returns (id_a, id_b) with id_a < id_b,
-    * distinct.
-    */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 5, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
+  private def hashedDocs(docs: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+                shingleHashSet(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  private def candidatesFrom(sh: DataFrame, numHashes: Int, bands: Int)
+      : DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigs = docs
-      .select(col(idCol).as("id"),
-              shingles(col(textCol), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sigs = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
     val banded = sigs.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
@@ -71,32 +74,58 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs — the verification step
-    * after LSH. Returns (id_a, id_b, jaccard).
-    */
-  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
-                    idCol: String, textCol: String, shingleK: Int = 5)
-      : DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-                         shingles(col(textCol), shingleK).as("sh"))
+  private def verifyFrom(sh: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-  }
+
+  /** Candidate near-duplicate pairs via LSH banding: signatures split into
+    * `bands` bands of numHashes/bands rows; docs sharing any band hash are
+    * candidates. Returns (id_a, id_b) with id_a < id_b, distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame =
+    candidatesFrom(hashedDocs(docs, idCol, textCol, shingleK), numHashes, bands)
+
+  /** Shingle-set Jaccard for candidate pairs — the verification step after
+    * LSH (computed on hashed shingle sets).
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+                    idCol: String, textCol: String, shingleK: Int = 5)
+      : DataFrame =
+    verifyFrom(hashedDocs(docs, idCol, textCol, shingleK), candidates)
 
   /** End-to-end MinHash near-dup pipeline: LSH candidates → Jaccard ≥
-    * threshold. The canonical `queries()` entry for near-dedup.
+    * threshold. The shingle-hash table is computed once and persisted
+    * across the candidate and verify stages (the reference's cache-then-
+    * pair pattern, analysis.py:235-239).
     */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", shingleK: Int = 5,
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
-    jaccardVerify(docs, cands, idCol, textCol, shingleK)
+    val sh = hashedDocs(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyFrom(sh, candidatesFrom(sh, numHashes, bands))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Candidates + jaccard without threshold, best-first — the queries()
+    * surface (never empty when any candidate exists).
+    */
+  def minhashRanked(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", shingleK: Int = 5,
+                    numHashes: Int = 32, bands: Int = 8, limit: Int = 200)
+      : DataFrame = {
+    val sh = hashedDocs(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyFrom(sh, candidatesFrom(sh, numHashes, bands))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(limit)
   }
 
   /** 64-bit SimHash signature per doc: bit j is the sign of

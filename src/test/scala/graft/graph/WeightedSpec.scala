@@ -1,0 +1,50 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.gfa.{GfaAnalysis, GfaOptions}
+
+class WeightedSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("weighted multi-source dist relaxes through cheaper long path") {
+    // a→b→c costs 1+1=2, direct a→c costs 5 → dist(a,c)=2
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0))
+      .toDF("src", "dst", "weight")
+    val seeds = Seq(("t", "a")).toDF("tag", "node")
+    val d = Graph.weightedMultiSourceDist(edges, seeds)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(d == Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0))
+  }
+
+  test("null weights default to 1.0 (nx weight='weight' semantics)") {
+    val edges = Seq(("a", "b", null.asInstanceOf[java.lang.Double]),
+                    ("b", "c", java.lang.Double.valueOf(0.5)))
+      .toDF("src", "dst", "weight")
+    val seeds = Seq(("t", "a")).toDF("tag", "node")
+    val d = Graph.weightedMultiSourceDist(edges, seeds)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(d("c") == 1.5)
+  }
+
+  test("mean set-distance averages over pairs (analysis.py:148-158)") {
+    // chain a-b-c; A={a,c}, B={b}: pairs (a,b)=1,(c,b)=1 → mean 1.0
+    // vs A={a,b}, B={c}: (a,c)=2,(b,c)=1 → mean 1.5 (pair semantics!)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val m = Graph.setDistance(edges,
+      Seq("a", "b").toDF("node"), Seq("c").toDF("node"), "mean")
+      .head().getDouble(0)
+    assert(m == 1.5)
+  }
+
+  test("weighted sequence distance via RC weight tag") {
+    val lines = gfaLines(
+      "S\ts1\tAAAA", "S\ts2\tCCCC", "S\ts3\tTTTT",
+      "L\ts1\t+\ts2\t+\t0M\tRC:i:2", "L\ts2\t+\ts3\t+\t0M\tRC:i:3",
+      "L\ts1\t+\ts3\t+\t0M\tRC:i:9")
+    val d = GfaAnalysis.sequenceDistance(lines, "AAAA", "TTTT",
+      GfaOptions(weightTag = Some("RC"))).head().getDouble(0)
+    assert(d == 5.0) // 2+3 beats direct 9
+  }
+}
