@@ -128,6 +128,9 @@ object SparkEntry {
     "q_minhash_neardups" -> ((s, dir) => Dedup.minhashRanked(docs(s, dir))),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir), maxHamming = 16)),
+    "q_emb_neardups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(emb(s, dir), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))),
 
     // --- similarity search: embeddings ---
     "q_knn_brute" -> ((s, dir) => {

@@ -54,9 +54,11 @@ object Graph {
     val nodes = allNodes
       .map(_.select(col("node")))
       .getOrElse(und.select(col("src").as("node")).distinct())
+    // localCheckpoint RETURNS the truncated Dataset (side-effect-free on
+    // the receiver) — always rebind, or lineage grows per round and the
+    // discarded checkpoint blocks leak.
     var labels = nodes.select(col("node"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -67,12 +69,10 @@ object Graph {
         .select(col("src").as("node"), col("label"))
       val next = labels.select("node", "label").union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.localCheckpoint(eager = true)
+        .localCheckpoint(true)
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.label") =!= col("o.label")).count()
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
@@ -94,7 +94,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     var dist = seeds.select(col("tag"), col("node"), lit(0L).as("dist"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct().localCheckpoint(true)
     var frontier = dist
     var iter = 0
     var frontierSize = frontier.count()
@@ -107,18 +107,10 @@ object Graph {
         .join(dist.select(col("tag").as("t2"), col("node").as("n2")),
               col("tag") === col("t2") && col("node") === col("n2"), "left_anti")
         .groupBy("tag", "node").agg(min("dist").as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      newFrontier.localCheckpoint(eager = true)
+        .localCheckpoint(true)
       frontierSize = newFrontier.count()
-      if (frontierSize > 0) {
-        val nextDist = dist.union(newFrontier)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        nextDist.localCheckpoint(eager = true)
-        nextDist.count()
-        dist.unpersist(blocking = false)
-        dist = nextDist
-      }
-      frontier.unpersist(blocking = false)
+      if (frontierSize > 0)
+        dist = dist.union(newFrontier).localCheckpoint(true)
       frontier = newFrontier
       iter += 1
     }
@@ -163,7 +155,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     var dist = seeds.select(col("tag"), col("node"), lit(0.0).as("dist"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct().localCheckpoint(true)
     var frontier = dist
     var iter = 0
     var frontierSize = frontier.count()
@@ -175,19 +167,18 @@ object Graph {
         .join(dist.as("d"), Seq("tag", "node"), "left")
         .where(col("d.dist").isNull || col("c.dist") < col("d.dist"))
         .select(col("tag"), col("node"), col("c.dist").as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      improved.localCheckpoint(eager = true)
+        .localCheckpoint(true)
       frontierSize = improved.count()
-      if (frontierSize > 0) {
-        val nextDist = dist.union(improved)
-          .groupBy("tag", "node").agg(min("dist").as("dist"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        nextDist.localCheckpoint(eager = true)
-        nextDist.count()
-        dist.unpersist(blocking = false)
-        dist = nextDist
-      }
-      frontier.unpersist(blocking = false)
+      if (frontierSize > 0)
+        // full-outer merge instead of union+groupBy: Union over two
+        // localCheckpoint'd LogicalRDDs trips constraint rewriting in this
+        // Spark build (AttributeMap key-not-found in rewriteConstraints)
+        dist = dist.as("d")
+          .join(improved.as("i"), Seq("tag", "node"), "full")
+          .select(col("tag"), col("node"),
+                  least(coalesce(col("i.dist"), col("d.dist")),
+                        coalesce(col("d.dist"), col("i.dist"))).as("dist"))
+          .localCheckpoint(true)
       frontier = improved
       iter += 1
     }

@@ -128,6 +128,38 @@ object Dedup {
       .limit(limit)
   }
 
+  /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets the
+    * corpus against itself, exact cosine verifies candidates ≥ threshold —
+    * the vector-space member of the dedup family (pairs with id_a < id_b).
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        threshold: Double = 0.95,
+                        bits: Int = 32, bandBits: Int = 8): DataFrame = {
+    import graft.sim.Knn
+    require(bits % bandBits == 0)
+    val nChunks = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val chunked = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+              Knn.lshSignature(col(vecCol), bits).as("sig"))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until nChunks).map { c =>
+          shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
+        }: _*)).as(Seq("chunk", "chunk_val")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+              Knn.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** 64-bit SimHash signature per doc: bit j is the sign of
     * Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). Static per-bit aggregate
     * columns keep the whole computation inside whole-stage codegen with a

@@ -52,6 +52,18 @@ class DedupSpec extends SparkSuite {
     assert(hamming(sigs(0L), sigs(3L)) > 12)   // unrelated
   }
 
+  test("embedding near-dups: planted duplicate vector pair found") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        ((i * 31 + d * 7) % 13 - 6).toFloat + (if (d == i % 16) 8f else 0f)).toSeq)
+    }
+    val planted = base :+ (100L, base.head._2)
+    val df = planted.toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(df, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 100L)))
+  }
+
   test("quality + langid heuristics behave on obvious inputs") {
     val q = TextAnalysis.quality(docs).where(col("doc_id") === 0).head()
     assert(q.getAs[Boolean]("is_quality"))
