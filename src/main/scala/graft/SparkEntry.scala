@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gen.Transcripts
 import graft.graph.Graph
-import graft.ops.{DupMode, Pairing, Rates, Sessions, TurnGraph}
+import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
 import graft.sim.Knn
 import graft.text.{Dedup, TextAnalysis}
 
@@ -71,19 +71,33 @@ object SparkEntry {
       val e = TurnGraph.edges(t).select(
         TurnGraph.nodeId(col("conv_id"), col("src_idx")).as("src"),
         TurnGraph.nodeId(col("conv_id"), col("dst_idx")).as("dst"))
-      val deg = Graph.degrees(e)
-      val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-      // zero-degree nodes (single-turn convs) by subtraction: total turns
-      // is the events rowcount (derivation is bijective) — a metadata-only
-      // scan instead of a nodes×degrees join
+      // histogram is tiny (a handful of distinct degrees) → collect once;
+      // zero-degree nodes (single-turn convs) by subtraction from the
+      // events rowcount (derivation is bijective, metadata-only scan)
+      val hist = Graph.degrees(e)
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
       val total = s.read.parquet(s"$dir/events.parquet").count()
-      val withEdges = deg.count()
-      val zero = total - withEdges
-      if (zero > 0) hist.unionByName(Seq((0L, zero)).toDF("degree", "n_nodes"))
-      else hist
+      val zero = total - hist.map(_._2).sum
+      val rows = if (zero > 0) hist :+ (0L, zero) else hist
+      rows.toSeq.toDF("degree", "n_nodes")
     }),
     "q_coo_sym" -> ((s, dir) =>
       TurnGraph.symmetrize(TurnGraph.coo(TurnGraph.edges(T(s, dir)), DupMode.Sum))),
+    // T6 batch twin: per-conversation CSR shape via the typed Aggregator
+    // (same representation as the streaming flatMapGroupsWithState state)
+    "q_csr_agg" -> ((s, dir) => {
+      import s.implicits._
+      val t = T(s, dir).withColumn("ts", col("ts").cast("timestamp")).as[graft.schema.Turn]
+      t.groupByKey(_.conv_id)
+        .agg(ConvCsrAggregator.toColumn.name("csr"))
+        .select(col("key").as("conv_id"),
+                col("csr.n_turns").as("n_turns"),
+                col("csr.n_edges").as("n_edges"),
+                col("csr.min_idx").as("min_idx"),
+                col("csr.max_idx").as("max_idx"),
+                col("csr.contiguous").as("contiguous"))
+    }),
     "q_text_dups" -> ((s, dir) => T(s, dir)
       .groupBy("text")
       .agg(count(lit(1)).as("n_occurrences"),
@@ -129,7 +143,10 @@ object SparkEntry {
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir), maxHamming = 16)),
     "q_emb_neardups" -> ((s, dir) =>
-      Dedup.embeddingNearDups(emb(s, dir), threshold = 0.8)
+      // ranked form: best LSH-candidate pairs by cosine (thresholded form
+      // is Dedup.embeddingNearDups; synthetic corpus has no >0.8 dups)
+      Dedup.embeddingNearDups(emb(s, dir), threshold = -1.0)
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(100)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))),
 
     // --- similarity search: embeddings ---
@@ -254,6 +271,12 @@ object SparkEntry {
         |u AS (SELECT src, dst, weight FROM g
         |      UNION ALL SELECT dst, src, weight FROM g)
         |SELECT src, dst, MAX(weight) AS weight FROM u GROUP BY 1, 2""".stripMargin),
+    "q_csr_agg" -> tsql(
+      """SELECT conv_id, CAST(COUNT(*) AS INTEGER) AS n_turns,
+        |       CAST(COUNT(*) - 1 AS INTEGER) AS n_edges,
+        |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
+        |       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS contiguous
+        |FROM turns GROUP BY conv_id""".stripMargin),
     "q_text_dups" -> tsql(
       """SELECT text, COUNT(*) AS n_occurrences,
         |       MIN(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS first_node
