@@ -27,6 +27,27 @@ object GfaAnalysis {
                 directed = opts.graphDirected)
   }
 
+  /** A9 memory-footprint accounting + R-guard thresholds (builders.py:
+    * 149-150, 262-273): total stored sequence/tag bytes, surfaced as a
+    * one-row metrics DataFrame instead of interleaved warnings. Callers
+    * compare against the reference's thresholds (tags > maxTagMb, seqs >
+    * 50% of heap) and emit metrics.
+    */
+  def byteTotals(lines: DataFrame): DataFrame =
+    GfaParse.segments(lines).agg(
+      sum(length(col("sequence"))).cast("long").as("seq_bytes_total"),
+      sum(aggregate(map_values(col("tags")), lit(0),
+        (acc, v) => acc + length(v))).cast("long").as("tags_bytes_total"))
+
+  /** Q5 directed-bidirected misuse probe (analysis.py:19-30): distance
+    * functions on a DIRECTED graph whose nodes carry the `:+`/`:-`
+    * bidirected suffix almost always want the undirected view. Cheap
+    * filter+limit(1) probe; callers warn when true.
+    */
+  def isDirectedBidirected(edges: DataFrame, opts: GfaOptions): Boolean =
+    opts.graphDirected &&
+      !edges.where(col("src").rlike(":[+-]$")).limit(1).isEmpty
+
   /** Q2 sequence_distance (analysis.py:68-113): min hop distance between
     * the node sets carrying exactly `seqA` / `seqB` as sequence payload.
     * Empty result (no row / null dist) = NoPath or unknown sequence.

@@ -57,6 +57,21 @@ object GfaParse {
       (col("rtype") === "C" && col("nf") < 5))
   }
 
+  /** Strict mode (P13): fail the job on the first malformed record with
+    * the reference's error shape (`Malformed X record`, parser.py:208 etc.)
+    * instead of routing to the rejects side output.
+    */
+  def strictMalformedCheck(lines: DataFrame): DataFrame = {
+    val r = records(lines).withColumn("nf", size(col("fields")))
+    r.select(
+      when((col("rtype") === "L" && col("nf") < 5) ||
+             (col("rtype").isin("P", "O") && col("nf") < 3) ||
+             (col("rtype") === "E" && col("nf") < 6) ||
+             (col("rtype") === "C" && col("nf") < 5),
+            raise_error(concat(lit("Malformed "), col("rtype"), lit(" record"))))
+        .as("_check"), col("rtype"), col("fields"))
+  }
+
   // -------------------------------------------------------------- tags
 
   /** GFA tag list → map tag -> "TYPE:VALUE" (P3; parser.py:179-204).

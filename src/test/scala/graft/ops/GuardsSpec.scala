@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.gen.SynthTranscripts
+import graft.gfa.{GfaAnalysis, GfaExport, GfaOptions, GfaParse}
+
+/** Guard rails + skew ops: R-guards (test_limits.py / test_warnings.py
+  * analogs), strict malformed mode, salted two-phase aggregation.
+  */
+class GuardsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted two-phase agg == direct groupBy (A14)") {
+    val t = SynthTranscripts.turns(spark, 10, 20).toDF()
+    val salted = Skew.saltedCountSum(t, "conv_id", col("turn_idx"))
+      .withColumnRenamed("n", "cnt")
+    val direct = t.groupBy("conv_id")
+      .agg(count(lit(1)).as("cnt"), sum("turn_idx").as("total"))
+    assert(salted.select("conv_id", "cnt", "total")
+      .exceptAll(direct.select("conv_id", "cnt", "total")).isEmpty)
+  }
+
+  test("dense-export guard aborts above the limit (test_limits.py:19-45)") {
+    GfaExport.denseGuard(n = 100, itemBytes = 8, maxGb = 5.0) // fine
+    val e = intercept[IllegalStateException] {
+      GfaExport.denseGuard(n = 1000000, itemBytes = 8, maxGb = 5.0)
+    }
+    assert(e.getMessage.contains("dense export"))
+  }
+
+  test("strict mode raises the reference's Malformed error (P13)") {
+    val bad = gfaLines("L\tx\t+")
+    val e = intercept[Exception] {
+      GfaParse.strictMalformedCheck(bad).collect()
+    }
+    assert(e.getMessage.contains("Malformed L record"))
+    // well-formed input passes
+    GfaParse.strictMalformedCheck(
+      gfaLines("S\ts1\tACGT", "L\ts1\t+\ts2\t-\t0M")).collect()
+  }
+
+  test("byte totals accounting (A9, builders.py:262-273)") {
+    val lines = gfaLines("S\ts1\tACGT\tXX:Z:abc", "S\ts2\tTTTTTT")
+    val r = GfaAnalysis.byteTotals(lines).head()
+    assert(r.getLong(0) == 10L)      // 4 + 6 sequence bytes
+    assert(r.getLong(1) == 5L)       // "Z:abc"
+  }
+
+  test("directed-bidirected misuse probe (Q5, analysis.py:19-30)") {
+    val bidirEdges = Seq(("s1:+", "s2:-"), ("s2:+", "s1:-")).toDF("src", "dst")
+    val plainEdges = Seq(("s1", "s2")).toDF("src", "dst")
+    val directedOpts = GfaOptions(bidirected = true, keepDirectedBidir = true)
+    assert(GfaAnalysis.isDirectedBidirected(bidirEdges, directedOpts))
+    assert(!GfaAnalysis.isDirectedBidirected(plainEdges, directedOpts))
+    assert(!GfaAnalysis.isDirectedBidirected(bidirEdges, GfaOptions())) // undirected
+  }
+
+  test("split blowup ratio guard (builders.py:379-380)") {
+    val lines = gfaLines(
+      "S\ts1\t10", "S\ts2\t10",
+      "E\t*\ts1+\t0\t2\ts2+\t0\t2\t2M", "E\t*\ts1+\t2\t4\ts2+\t2\t4\t2M",
+      "E\t*\ts1+\t4\t6\ts2+\t4\t6\t2M", "E\t*\ts1+\t6\t8\ts2+\t6\t8\t2M")
+    val r = graft.gfa.SplitAlignment(lines)
+    val ratio = graft.gfa.SplitAlignment.blowupRatio(lines, r)
+    assert(ratio == 5.0) // 2 segments → 10 sub-nodes
+  }
+}
