@@ -18,7 +18,10 @@ object GfaParse {
 
   private val BIG = 1000000
 
-  private def f(i: Int) = col("fields").getItem(i)
+  // get() (null on out-of-bounds), NOT getItem: under ANSI mode getItem
+  // throws on short rows, and Spark's And gives no elementwise
+  // short-circuit guarantee, so nf-guards don't protect the access
+  private def f(i: Int) = get(col("fields"), lit(i))
 
   /** A `lineno` column (from [[GfaGraph.readLines]]) is carried through
     * every parser so first-seen ordering (A1) survives the projection. */

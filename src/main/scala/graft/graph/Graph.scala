@@ -62,14 +62,23 @@ object Graph {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label per node = min over neighbors' labels
+      // step 1: candidate label per node = min over neighbors' labels
       val viaNeighbors = und
         .join(labels.withColumnRenamed("node", "dst_n"),
               col("dst") === col("dst_n"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.select("node", "label").union(viaNeighbors)
+      val relaxed = labels.select("node", "label").union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      // step 2: pointer jumping — adopt the label of one's label node
+      // (path compression): turns O(diameter) convergence into
+      // O(log diameter), which long chain graphs require
+      val jumped = relaxed.as("a")
+        .join(relaxed.select(col("node").as("l_node"), col("label").as("l_label")),
+              col("a.label") === col("l_node"), "left")
+        .select(col("a.node").as("node"),
+                least(col("a.label"), coalesce(col("l_label"), col("a.label")))
+                  .as("label"))
+      val next = jumped.localCheckpoint(true)
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.label") =!= col("o.label")).count()
