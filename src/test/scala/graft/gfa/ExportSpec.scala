@@ -1,0 +1,58 @@
+package graft.gfa
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Export round-trips (S8/S9/S11/S12) incl. the gz scan (S2). */
+class ExportSpec extends SparkSuite {
+
+  private def lines = gfaLines(
+    "S\ts1\tACGT", "S\ts2\tTTTT", "L\ts1\t+\ts2\t-\t0M", "P\tp1\ts1+,s2-\t*")
+
+  test("matrix + node-map sidecar round-trip, aligned (test_matrix_nodes_map.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("exp").toString
+    val coo = GfaGraph.cooMatrix(lines)
+    GfaExport.saveMatrix(coo, s"$dir/m")
+    GfaExport.saveNodeMap(GfaGraph.nodeIndex(lines), s"$dir/nodes")
+    val m = spark.read.parquet(s"$dir/m")
+    val nm = spark.read.option("sep", "\t").csv(s"$dir/nodes")
+    assert(m.count() == 2) // mirrored single link
+    assert(nm.count() == 2) // sidecar rows == matrix dimension
+    val maxIdx = m.agg(greatest(max("row"), max("col"))).head().getLong(0)
+    assert(maxIdx == nm.count() - 1)
+  }
+
+  test("edge-list export (test_export_edge_list.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("exp2").toString
+    GfaExport.saveEdgeList(lines, s"$dir/el")
+    val el = spark.read.option("sep", "\t").csv(s"$dir/el").collect()
+    assert(el.map(r => (r.getString(0), r.getString(1))).toSet == Set(("s1", "s2")))
+  }
+
+  test("json node-link export re-reads (test_export_formats.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("exp3").toString
+    GfaExport.saveJsonNodeLink(lines, dir)
+    assert(spark.read.json(s"$dir/nodes").count() == 2)
+    assert(spark.read.json(s"$dir/links").count() == 1)
+  }
+
+  test("dense export under guard") {
+    val dir = java.nio.file.Files.createTempDirectory("exp4").toString
+    GfaExport.saveDense(GfaGraph.cooMatrix(lines), n = 2, s"$dir/dense")
+    val d = spark.read.option("header", "true").csv(s"$dir/dense")
+    assert(d.count() == 2 && d.columns.length == 3) // row + 2 value cols
+  }
+
+  test("gz-transparent scan (S2, parser.py:108-109)") {
+    val dir = java.nio.file.Files.createTempDirectory("gz").toString
+    val gzPath = s"$dir/g.gfa.gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gzPath))
+    out.write("S\ts1\tACGT\nS\ts2\tTTTT\nL\ts1\t+\ts2\t-\t0M\n".getBytes)
+    out.close()
+    val g = Gfa.read(spark, gzPath)
+    assert(g.segments.count() == 2)
+    assert(g.links.count() == 1)
+  }
+}

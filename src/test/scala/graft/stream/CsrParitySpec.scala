@@ -1,0 +1,52 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.gen.SynthTranscripts
+import graft.ops.ConvCsrAggregator
+import graft.schema.Turn
+
+/** T6 streaming == batch: the flatMapGroupsWithState CSR state and the
+  * typed batch Aggregator must agree conversation-for-conversation.
+  */
+class CsrParitySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("CsrState final summaries == ConvCsrAggregator batch results") {
+    val data = SynthTranscripts.turnRows(6, 9)
+    val maxTs = data.map(_.ts.getTime).max
+
+    // streaming: feed all data, then advance watermark far so every conv
+    // times out and emits its final summary
+    val ms = MemoryStream[Turn](
+      implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+    val q = CsrState.attach(
+        ms.toDS().withWatermark("ts", "1 minute"), idleTimeout = "5 minutes")
+      .toDF().writeStream.format("memory")
+      .queryName("csr_parity").outputMode("append").start()
+    ms.addData(data.sortBy(_.ts.getTime))
+    q.processAllAvailable()
+    ms.addData(Seq(Turn("zz", 0, "user", "s", None,
+      new java.sql.Timestamp(maxTs + 86400000L))))
+    q.processAllAvailable()
+    ms.addData(Seq(Turn("zz", 1, "assistant", "s", None,
+      new java.sql.Timestamp(maxTs + 86400001L))))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("csr_parity")
+      .where(col("is_final") && col("conv_id") =!= "zz")
+      .select("conv_id", "n_turns", "n_edges", "min_idx", "max_idx", "contiguous")
+
+    val batch = spark.createDataset(data)
+      .groupByKey(_.conv_id)
+      .agg(ConvCsrAggregator.toColumn.name("csr"))
+      .select(col("key").as("conv_id"), col("csr.n_turns"), col("csr.n_edges"),
+              col("csr.min_idx"), col("csr.max_idx"), col("csr.contiguous"))
+
+    assert(streamed.count() == data.map(_.conv_id).distinct.length)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
