@@ -74,21 +74,25 @@ object GfaGraph {
     */
   def edges(lines: DataFrame, opts: GfaOptions = GfaOptions()): DataFrame = {
     val raw = rawEdges(lines, opts)
-    val base =
-      if (opts.bidirected)
-        raw.select(
-          bidirNode(col("from_id"), col("from_orient")).as("src"),
-          bidirNode(col("to_id"), col("to_orient")).as("dst"),
-          col("weight"))
-      else
-        raw.select(col("from_id").as("src"), col("to_id").as("dst"), col("weight"))
     if (opts.bidirected && !opts.keepDirectedBidir)
-      base.unionByName(
-        rawEdges(lines, opts).select(
-          bidirNode(col("to_id"), flip(col("to_orient"))).as("src"),
-          bidirNode(col("from_id"), flip(col("from_orient"))).as("dst"),
-          col("weight")))
-    else base
+      // forward + reverse-complement twin in one pass (explode, not a
+      // second rawEdges scan)
+      raw.select(explode(array(
+          struct(bidirNode(col("from_id"), col("from_orient")).as("src"),
+                 bidirNode(col("to_id"), col("to_orient")).as("dst"),
+                 col("weight")),
+          struct(bidirNode(col("to_id"), flip(col("to_orient"))).as("src"),
+                 bidirNode(col("from_id"), flip(col("from_orient"))).as("dst"),
+                 col("weight")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+                col("e.weight").as("weight"))
+    else if (opts.bidirected)
+      raw.select(
+        bidirNode(col("from_id"), col("from_orient")).as("src"),
+        bidirNode(col("to_id"), col("to_orient")).as("dst"),
+        col("weight"))
+    else
+      raw.select(col("from_id").as("src"), col("to_id").as("dst"), col("weight"))
   }
 
   /** Node set: segment nodes (± bidirected duplication, G1) ∪ edge
@@ -176,7 +180,12 @@ object GfaGraph {
       .select(col("row"), col("col"), col("weight"))
     val mirrored =
       if (!opts.graphDirected)
-        withIdx.union(withIdx.select(col("col").as("row"), col("row").as("col"), col("weight")))
+        withIdx.select(explode(array(
+            struct(col("row"), col("col"), col("weight")),
+            struct(col("col").as("row"), col("row").as("col"), col("weight"))))
+            .as("e"))
+          .select(col("e.row").as("row"), col("e.col").as("col"),
+                  col("e.weight").as("weight"))
       else withIdx
     if (!opts.asymmetric && opts.graphDirected) {
       // scipy's coo.maximum(T) implicitly converts to CSR (summing

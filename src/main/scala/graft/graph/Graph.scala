@@ -10,10 +10,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Undirected view: each edge plus its reverse (dedup'd). */
+  /** Undirected view: each edge plus its reverse in one pass (explode —
+    * a self-union would recompute the upstream twice), dedup'd.
+    */
   def undirected(edges: DataFrame): DataFrame =
-    edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
 
   /** Per-node degree (A7), matching nx semantics on simple graphs:

@@ -80,13 +80,19 @@ object TurnGraph {
     }
   }
 
-  /** Symmetrize A = max(A, Aᵀ) (A4, builders.py:282-283): union with the
-    * transposed projection, then an element-wise max — a single shuffle on
-    * (src, dst), map-side combinable.
+  /** Symmetrize A = max(A, Aᵀ) (A4, builders.py:282-283): each entry emits
+    * itself and its transpose in ONE pass (explode, not a self-union —
+    * a union would recompute the whole upstream twice), then element-wise
+    * max in a single map-side-combinable shuffle.
     */
   def symmetrize(cooDf: DataFrame): DataFrame =
     cooDf
-      .union(cooDf.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("weight")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("weight"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+              col("e.weight").as("weight"))
       .groupBy("src", "dst").agg(max("weight").as("weight"))
 
   /** Bidirected role-split node view (G1): every turn emits a ":user"- and
