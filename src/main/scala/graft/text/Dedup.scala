@@ -33,11 +33,24 @@ object Dedup {
         s => s.isNotNull))
   }
 
-  /** Distinct shingle hash set per doc: each shingle string is xxhash64'd
-    * ONCE; all downstream minhash/jaccard math runs on longs (8-byte
-    * hashes) instead of re-hashing ~30-char strings numHashes times.
-    * Hash collisions are negligible for dedup purposes (2^-64 per pair).
+  /** Distinct shingle hash set per doc, built WITHOUT materializing
+    * shingle strings: tokens are hashed once, a shingle hash is the
+    * xxhash64 of its k token hashes (40 bytes, no concat_ws string
+    * building). All downstream minhash/jaccard math runs on longs.
+    * Collisions are negligible for dedup purposes (2^-64 per pair).
+    * NOTE: callers must materialize the token-hash array as a real column
+    * first ([[hashedDocs]]) — inlining it would duplicate the tokenize+
+    * hash subtree k+1 times (no CSE through higher-order functions).
     */
+  def shingleHashesFromTokenHashes(tokenHashes: Column, k: Int): Column =
+    array_distinct(
+      filter(
+        transform(tokenHashes, (_, i) =>
+          when(i + k <= size(tokenHashes),
+               xxhash64((0 until k).map(j => get(tokenHashes, i + j)): _*))),
+        x => x.isNotNull))
+
+  /** String-shingle variant kept for the Jaccard-on-strings API. */
   def shingleHashSet(text: Column, k: Int): Column =
     array_distinct(transform(shingles(text, k), s => xxhash64(s)))
 
@@ -50,10 +63,23 @@ object Dedup {
     }: _*)
 
   private def hashedDocs(docs: DataFrame, idCol: String, textCol: String,
-                         shingleK: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-                shingleHashSet(col(textCol), shingleK).as("sh"))
+                         shingleK: Int): DataFrame = {
+    // persist = a CollapseProject barrier: shingleHashesFromTokenHashes
+    // references `th` k+1 times, and without the InMemoryRelation boundary
+    // the optimizer inlines the tokenize+hash subtree into every reference
+    // (measured 6× recompute). The cached array is also what the
+    // candidate and verify stages share.
+    val thDf = docs
+      .select(col(idCol).as("id"),
+        transform(
+          split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "),
+          t => xxhash64(t)).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    thDf
+      .select(col("id"),
+              shingleHashesFromTokenHashes(col("th"), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
+  }
 
   private def candidatesFrom(sh: DataFrame, numHashes: Int, bands: Int)
       : DataFrame = {
@@ -109,7 +135,6 @@ object Dedup {
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
     val sh = hashedDocs(docs, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyFrom(sh, candidatesFrom(sh, numHashes, bands))
       .where(col("jaccard") >= threshold)
   }
@@ -122,7 +147,6 @@ object Dedup {
                     numHashes: Int = 32, bands: Int = 8, limit: Int = 200)
       : DataFrame = {
     val sh = hashedDocs(docs, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyFrom(sh, candidatesFrom(sh, numHashes, bands))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(limit)
