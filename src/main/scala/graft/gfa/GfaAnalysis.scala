@@ -63,11 +63,13 @@ object GfaAnalysis {
       // attr = 1); with no weight tag that equals hop BFS, so the cheaper
       // kernel serves the unweighted case below
       Graph.weightedMultiSourceDist(edges,
-          nodesFor(seqA).select(lit("a").as("tag"), col("node")))
+          nodesFor(seqA).select(lit("a").as("tag"), col("node")),
+          directed = opts.graphDirected)
         .join(nodesFor(seqB), Seq("node"), "left_semi")
         .agg(min("dist").as("dist"))
     else
-      Graph.setDistance(edges, nodesFor(seqA), nodesFor(seqB), method = "min")
+      Graph.setDistance(edges, nodesFor(seqA), nodesFor(seqB),
+                        method = "min", directed = opts.graphDirected)
   }
 
   /** Q3 genome_distance (analysis.py:116-161): min/mean distance between
@@ -80,7 +82,7 @@ object GfaAnalysis {
     val setFor = (p: String) =>
       members.where(col("name") === p).select(col("seg").as("node")).distinct()
     Graph.setDistance(GfaGraph.edges(lines, opts), setFor(pathA), setFor(pathB),
-                      method)
+                      method, directed = opts.graphDirected)
   }
 
   /** Q4 genome_distance_matrix (analysis.py:180-272): long-form
@@ -91,8 +93,11 @@ object GfaAnalysis {
     */
   def genomeDistanceMatrix(lines: DataFrame, method: String = "min",
                            opts: GfaOptions = GfaOptions()): DataFrame = {
+    // multiset membership: a path visiting a node twice weights it twice
+    // in the mean (load_paths keeps the raw list, analysis.py:164-177)
     val membership = GfaParse.pathMembers(lines)
-      .select(col("name").as("tag"), col("seg").as("node")).distinct()
-    Graph.groupDistanceMatrix(GfaGraph.edges(lines, opts), membership, method)
+      .select(col("name").as("tag"), col("seg").as("node"))
+    Graph.groupDistanceMatrix(GfaGraph.edges(lines, opts), membership, method,
+                              directed = opts.graphDirected)
   }
 }

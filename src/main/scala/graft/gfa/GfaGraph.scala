@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * `keepDirectedBidir`), `stripOrientation`, `weightTag`, `asymmetric`.
   */
 final case class GfaOptions(
-    directed: Boolean = false,
+    directed: Boolean = true, // parse_gfa default (builders.py:32)
     bidirected: Boolean = false,
     keepDirectedBidir: Boolean = false,
     stripOrientation: Boolean = false,

@@ -141,13 +141,16 @@ object Graph {
     * No row / null = NoPath.
     */
   def setDistance(edges: DataFrame, setA: DataFrame, setB: DataFrame,
-                  method: String = "min"): DataFrame = method match {
+                  method: String = "min", directed: Boolean = false)
+      : DataFrame = method match {
     case "min" =>
-      multiSourceBfs(edges, setA.select(lit("a").as("tag"), col("node")))
+      multiSourceBfs(edges, setA.select(lit("a").as("tag"), col("node")),
+                     directed)
         .join(setB.select(col("node")), Seq("node"), "left_semi")
         .agg(min("dist").as("dist"))
     case "mean" =>
-      multiSourceBfs(edges, setA.select(col("node").as("tag"), col("node")))
+      multiSourceBfs(edges, setA.select(col("node").as("tag"), col("node")),
+                     directed)
         .join(setB.select(col("node")), Seq("node"), "left_semi")
         .agg(avg("dist").as("dist"))
     case other => throw new IllegalArgumentException(s"method: $other")
@@ -203,25 +206,46 @@ object Graph {
   /** All-pairs group distance matrix (Q4, analysis.py:180-272): one
     * BFS labeled by group computes dist(group, node) for every group at
     * once; pairing that against group membership yields the full long-form
-    * matrix (group_a, group_b, dist) with a single persisted intermediate
-    * — the distributed form of the reference's per-path Dijkstra cache,
-    * asserted ≥4× faster than naive pairwise in both implementations.
+    * matrix (group_a, group_b, dist) — the distributed form of the
+    * reference's per-path Dijkstra cache, ≥4× faster than naive pairwise.
     *
-    * `membership`: (tag, node). Unreachable pairs are absent (reference
-    * emits inf; callers outer-join against the tag cross product if dense
-    * output is needed — the S8 dense-export guard applies there).
+    * `membership` is a MULTISET (tag, node) — paths may visit a node
+    * twice, and the reference's mean weights each visit
+    * (analysis.py:254-262). min over ordered pairs; mean averages
+    * node-to-other-path distances in BOTH directions
+    * (Σ_{u∈A} d_B(u) + Σ_{v∈B} d_A(v)) / reachable-count, pinned to a
+    * reference-run golden in GfaAnalysisSpec. Unreachable pairs are absent
+    * (reference emits inf).
     */
   def groupDistanceMatrix(edges: DataFrame, membership: DataFrame,
-                          method: String = "min"): DataFrame = {
-    val distAll = multiSourceBfs(edges, membership.select("tag", "node"))
-    val m = membership.select(col("tag").as("tag_b"), col("node"))
-    val pairs = distAll.join(m, Seq("node"))
-    val aggCol = method match {
-      case "min"  => min("dist")
-      case "mean" => avg("dist")
-      case other  => throw new IllegalArgumentException(s"method: $other")
+                          method: String = "min",
+                          directed: Boolean = false): DataFrame = {
+    val distAll = multiSourceBfs(edges, membership.select("tag", "node"),
+                                 directed)
+    method match {
+      case "min" =>
+        distAll
+          .join(membership.select(col("tag").as("tag_b"), col("node")).distinct(),
+                Seq("node"))
+          .groupBy(col("tag").as("tag_a"), col("tag_b"))
+          .agg(min("dist").as("dist"))
+      case "mean" =>
+        val offDiag = membership.select(col("tag").as("m_tag"), col("node"))
+          .join(distAll.select(col("tag").as("d_tag"), col("node"), col("dist")),
+                Seq("node"))
+          .where(col("m_tag") =!= col("d_tag"))
+          .select(least(col("m_tag"), col("d_tag")).as("tag_a"),
+                  greatest(col("m_tag"), col("d_tag")).as("tag_b"),
+                  col("dist").cast("double").as("dist"))
+          .groupBy("tag_a", "tag_b").agg(avg("dist").as("dist"))
+        val sym = offDiag.unionByName(offDiag.select(
+          col("tag_b").as("tag_a"), col("tag_a").as("tag_b"), col("dist")))
+        val diag = membership.select(col("tag")).distinct()
+          .select(col("tag").as("tag_a"), col("tag").as("tag_b"),
+                  lit(0.0).as("dist"))
+        sym.unionByName(diag)
+      case other => throw new IllegalArgumentException(s"method: $other")
     }
-    pairs.groupBy(col("tag").as("tag_a"), col("tag_b")).agg(aggCol.as("dist"))
   }
 
   /** Graph summary stats (Q1, analysis.py:33-65). Components defaults to

@@ -45,4 +45,23 @@ class GfaAnalysisSpec extends SparkSuite {
     val d = GfaAnalysis.sequenceDistance(lines, "ACGT", "TTTT").collect()
     assert(d.isEmpty || d(0).isNullAt(0))
   }
+
+  test("mean distance matrix: directed + multiset golden from reference run") {
+    // golden computed by RUNNING genome_distance_matrix(method="mean") on
+    // this literal: p1↔p2 = 1/3 (s1 unreachable from {s2,s3} on the
+    // DIRECTED chain), p1↔p3 = 0.4 (p3 visits s1 twice — multiset),
+    // p2↔p3 = 1/3
+    val lines = gfaLines(
+      "S\ts1\t*", "S\ts2\t*", "S\ts3\t*",
+      "L\ts1\t+\ts2\t+\t0M", "L\ts2\t+\ts3\t+\t0M",
+      "P\tp1\ts1+,s2+\t*", "P\tp2\ts3+,s2+\t*", "P\tp3\ts1+,s1+,s3+\t*")
+    val m = GfaAnalysis.genomeDistanceMatrix(lines, "mean")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(m.size == 9)
+    assert(m(("p1", "p1")) == 0.0)
+    assert(math.abs(m(("p1", "p2")) - 1.0 / 3) < 1e-12)
+    assert(math.abs(m(("p2", "p1")) - 1.0 / 3) < 1e-12)
+    assert(math.abs(m(("p1", "p3")) - 0.4) < 1e-12)
+    assert(math.abs(m(("p2", "p3")) - 1.0 / 3) < 1e-12)
+  }
 }

@@ -54,7 +54,8 @@ class GuardsSpec extends SparkSuite {
     val directedOpts = GfaOptions(bidirected = true, keepDirectedBidir = true)
     assert(GfaAnalysis.isDirectedBidirected(bidirEdges, directedOpts))
     assert(!GfaAnalysis.isDirectedBidirected(plainEdges, directedOpts))
-    assert(!GfaAnalysis.isDirectedBidirected(bidirEdges, GfaOptions())) // undirected
+    assert(!GfaAnalysis.isDirectedBidirected(bidirEdges,
+      GfaOptions(directed = false))) // undirected view → no warning
   }
 
   test("split blowup ratio guard (builders.py:379-380)") {
