@@ -103,16 +103,34 @@ object Graph {
     * cache (A12, analysis.py:235-239): compute once, reuse for O(P²) pairs.
     */
   def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
-                     directed: Boolean = false, maxIter: Int = 64): DataFrame = {
+                     directed: Boolean = false, maxIter: Int = 64)
+      : DataFrame =
+    multiSourceBfsUntil(edges, seeds, stopSet = None, directed, maxIter)
+
+  /** BFS with optional early termination: when `stopSet` is given, the
+    * loop ends on the first round whose frontier touches it — BFS explores
+    * in nondecreasing depth, so the first touch IS the minimum distance
+    * (the reference's Dijkstra similarly resolves targets as popped).
+    * On a large-diameter graph this turns min-distance queries from
+    * O(eccentricity) rounds into O(answer) rounds.
+    */
+  def multiSourceBfsUntil(edges: DataFrame, seeds: DataFrame,
+                          stopSet: Option[DataFrame],
+                          directed: Boolean = false, maxIter: Int = 64)
+      : DataFrame = {
     val adj = (if (directed) edges.select("src", "dst") else undirected(edges))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     var dist = seeds.select(col("tag"), col("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
+    def hitStop(frontierDf: DataFrame): Boolean = stopSet.exists(s =>
+      !frontierDf.join(s.select(col("node")), Seq("node"), "left_semi")
+        .limit(1).isEmpty)
     var frontier = dist
     var iter = 0
     var frontierSize = frontier.count()
-    while (frontierSize > 0 && iter < maxIter) {
+    var done = hitStop(frontier)
+    while (!done && frontierSize > 0 && iter < maxIter) {
       val expanded = frontier
         .join(adj, frontier("node") === adj("src"))
         .select(col("tag"), col("dst").as("node"), (col("dist") + 1).as("dist"))
@@ -126,6 +144,7 @@ object Graph {
       if (frontierSize > 0)
         dist = dist.union(newFrontier).localCheckpoint(true)
       frontier = newFrontier
+      done = hitStop(frontier)
       iter += 1
     }
     adj.unpersist(blocking = false)
@@ -144,8 +163,8 @@ object Graph {
                   method: String = "min", directed: Boolean = false)
       : DataFrame = method match {
     case "min" =>
-      multiSourceBfs(edges, setA.select(lit("a").as("tag"), col("node")),
-                     directed)
+      multiSourceBfsUntil(edges, setA.select(lit("a").as("tag"), col("node")),
+                          stopSet = Some(setB), directed)
         .join(setB.select(col("node")), Seq("node"), "left_semi")
         .agg(min("dist").as("dist"))
     case "mean" =>
