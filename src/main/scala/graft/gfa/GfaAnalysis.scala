@@ -48,56 +48,65 @@ object GfaAnalysis {
     opts.graphDirected &&
       !edges.where(col("src").rlike(":[+-]$")).limit(1).isEmpty
 
-  /** Q2 sequence_distance (analysis.py:68-113): min hop distance between
-    * the node sets carrying exactly `seqA` / `seqB` as sequence payload.
+  /** Q2 sequence_distance (analysis.py:68-113): min hop/weighted distance
+    * between the node sets carrying exactly `seqA` / `seqB` as sequence
+    * payload. The reference always runs Dijkstra with weight="weight"
+    * (absent attr = 1, analysis.py:109); with no weight tag that equals
+    * hop BFS, so the cheaper early-terminating kernel serves that case.
+    * Bidirected graphs attach the sequence to both `id:+` and `id:-`
+    * (builders.py:167-178) — the lookup expands accordingly.
     * Empty result (no row / null dist) = NoPath or unknown sequence.
     */
   def sequenceDistance(lines: DataFrame, seqA: String, seqB: String,
                        opts: GfaOptions = GfaOptions()): DataFrame = {
     val segs = GfaParse.segments(lines)
-    val nodesFor = (s: String) =>
-      segs.where(col("sequence") === s).select(col("id").as("node"))
-    val edges = GfaGraph.edges(lines, opts)
-    if (opts.weightTag.isDefined)
-      // the reference always runs Dijkstra with weight="weight" (absent
-      // attr = 1); with no weight tag that equals hop BFS, so the cheaper
-      // kernel serves the unweighted case below
-      Graph.weightedMultiSourceDist(edges,
-          nodesFor(seqA).select(lit("a").as("tag"), col("node")),
-          directed = opts.graphDirected)
-        .join(nodesFor(seqB), Seq("node"), "left_semi")
-        .agg(min("dist").as("dist"))
-    else
-      Graph.setDistance(edges, nodesFor(seqA), nodesFor(seqB),
-                        method = "min", directed = opts.graphDirected)
+    val nodesFor = (s: String) => GfaGraph.orientedNodes(
+      segs.where(col("sequence") === s).select(col("id").as("node")), opts)
+    Graph.setDistance(GfaGraph.edges(lines, opts), nodesFor(seqA),
+                      nodesFor(seqB), method = "min",
+                      directed = opts.graphDirected,
+                      weighted = opts.weightTag.isDefined)
   }
 
   /** Q3 genome_distance (analysis.py:116-161): min/mean distance between
-    * two paths' node sets.
+    * two paths' node MULTISETS — the reference passes the raw member list
+    * (cli.py:335-345) and mean weights duplicate visits pairwise
+    * (analysis.py:148-158), so no dedup here. Weighted Dijkstra when
+    * `opts.weightTag` is set (reference always passes weight="weight",
+    * analysis.py:137,153).
     */
   def genomeDistance(lines: DataFrame, pathA: String, pathB: String,
                      method: String = "min",
                      opts: GfaOptions = GfaOptions()): DataFrame = {
     val members = GfaParse.pathMembers(lines)
-    val setFor = (p: String) =>
-      members.where(col("name") === p).select(col("seg").as("node")).distinct()
+    val setFor = (p: String) => GfaGraph.orientedNodes(
+      members.where(col("name") === p).select(col("seg").as("node")), opts)
     Graph.setDistance(GfaGraph.edges(lines, opts), setFor(pathA), setFor(pathB),
-                      method, directed = opts.graphDirected)
+                      method, directed = opts.graphDirected,
+                      weighted = opts.weightTag.isDefined)
   }
 
   /** Q4 genome_distance_matrix (analysis.py:180-272): long-form
     * (tag_a, tag_b, dist) over all path pairs; the per-path-labeled BFS is
     * computed once and persisted — the distributed form of the
     * reference's per-path Dijkstra cache (≥4× vs naive pairwise).
-    * Unreachable pairs are absent (reference emits inf).
+    * Weighted Dijkstra when `opts.weightTag` is set (the reference's
+    * cache always uses weight="weight", analysis.py:235-239).
+    * `emitInf = true` fills unreachable pairs with +Infinity like the
+    * reference's dense matrix (analysis.py:252,263); default long form
+    * omits them.
     */
   def genomeDistanceMatrix(lines: DataFrame, method: String = "min",
-                           opts: GfaOptions = GfaOptions()): DataFrame = {
+                           opts: GfaOptions = GfaOptions(),
+                           emitInf: Boolean = false): DataFrame = {
     // multiset membership: a path visiting a node twice weights it twice
     // in the mean (load_paths keeps the raw list, analysis.py:164-177)
-    val membership = GfaParse.pathMembers(lines)
-      .select(col("name").as("tag"), col("seg").as("node"))
+    val membership = GfaGraph.orientedNodes(
+      GfaParse.pathMembers(lines)
+        .select(col("name").as("tag"), col("seg").as("node")), opts)
     Graph.groupDistanceMatrix(GfaGraph.edges(lines, opts), membership, method,
-                              directed = opts.graphDirected)
+                              directed = opts.graphDirected,
+                              weighted = opts.weightTag.isDefined,
+                              emitInf = emitInf)
   }
 }

@@ -67,6 +67,18 @@ object GfaGraph {
   private def flip(ori: Column): Column =
     when(ori === "+", lit("-")).otherwise(lit("+"))
 
+  /** Resolve raw segment ids to graph node names. Bidirected graphs name
+    * their nodes `id:+` / `id:-` (builders.py:167-178) and attach the same
+    * payload to both orientations, so a raw id expands to both oriented
+    * nodes (analysis-layer lookups would otherwise never intersect the
+    * node set). Preserves all other columns; multiset rows stay multiset.
+    */
+  def orientedNodes(df: DataFrame, opts: GfaOptions,
+                    nodeCol: String = "node"): DataFrame =
+    if (!opts.bidirected) df
+    else df.withColumn(nodeCol, explode(array(
+      bidirNode(col(nodeCol), lit("+")), bidirNode(col(nodeCol), lit("-")))))
+
   /** Graph-view edge list (src, dst, weight) with the reference's node-id
     * conventions: bidirected synthesizes `id:ori` nodes and mirrors each
     * edge reverse-complemented unless keepDirectedBidir (G1-G2,
@@ -190,10 +202,23 @@ object GfaGraph {
     if (!opts.asymmetric && opts.graphDirected) {
       // scipy's coo.maximum(T) implicitly converts to CSR (summing
       // duplicate entries) before the element-wise max (utils.py:55,
-      // builders.py:282-283) — mirror that order exactly.
-      val s = csrEntries(mirrored)
-      s.union(s.select(col("col").as("row"), col("row").as("col"), col("weight")))
-        .groupBy("row", "col").agg(max("weight").as("weight"))
+      // builders.py:282-283) — mirror that order exactly. The element-wise
+      // max also compares against IMPLICIT ZEROS: an entry present in only
+      // one direction is max'd with 0, so a lone negative weight becomes
+      // 0.0 (kept as an explicit-zero row here). explode + count, not a
+      // self-union (which would recompute the aggregate twice).
+      csrEntries(mirrored)
+        .select(explode(array(
+            struct(col("row"), col("col"), col("weight")),
+            struct(col("col").as("row"), col("row").as("col"), col("weight"))))
+          .as("e"))
+        .select(col("e.row").as("row"), col("e.col").as("col"),
+                col("e.weight").as("weight"))
+        .groupBy("row", "col")
+        .agg(max("weight").as("mx"), count(lit(1)).as("n"))
+        .select(col("row"), col("col"),
+          when(col("n") === 1, greatest(col("mx"), lit(0.0)))
+            .otherwise(col("mx")).as("weight"))
     } else mirrored
   }
 

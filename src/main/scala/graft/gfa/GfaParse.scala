@@ -96,11 +96,14 @@ object GfaParse {
   private def tagVal(v: Column): Column = regexp_replace(v, "^[^:]*:", "")
 
   /** `i`/`f` tag → double; other types or unparseable → null
-    * (P9 weight extraction; builders.py:205-209).
+    * (P9 weight extraction; builders.py:205-209). `i` parses through the
+    * 64-bit range — the reference's _parse_tags int() is arbitrary
+    * precision (parser.py:187-191), so a 32-bit cast would silently drop
+    * valid large weights.
     */
   def tagDouble(tags: Column, tag: String): Column = {
     val v = element_at(tags, tag)
-    when(tagTyp(v) === "i", tagVal(v).try_cast("int").cast("double"))
+    when(tagTyp(v) === "i", tagVal(v).try_cast("bigint").cast("double"))
       .when(tagTyp(v) === "f", tagVal(v).try_cast("double"))
   }
 

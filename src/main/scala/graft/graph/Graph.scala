@@ -90,6 +90,10 @@ object Graph {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter")
     labels
   }
 
@@ -103,7 +107,7 @@ object Graph {
     * cache (A12, analysis.py:235-239): compute once, reuse for O(P²) pairs.
     */
   def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
-                     directed: Boolean = false, maxIter: Int = 64)
+                     directed: Boolean = false, maxIter: Int = 512)
       : DataFrame =
     multiSourceBfsUntil(edges, seeds, stopSet = None, directed, maxIter)
 
@@ -116,7 +120,7 @@ object Graph {
     */
   def multiSourceBfsUntil(edges: DataFrame, seeds: DataFrame,
                           stopSet: Option[DataFrame],
-                          directed: Boolean = false, maxIter: Int = 64)
+                          directed: Boolean = false, maxIter: Int = 512)
       : DataFrame = {
     val adj = (if (directed) edges.select("src", "dst") else undirected(edges))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -148,30 +152,52 @@ object Graph {
       iter += 1
     }
     adj.unpersist(blocking = false)
+    // silent truncation would be indistinguishable from NoPath (absent
+    // row) — the reference's Dijkstra is exact, so surface it instead
+    if (!done && frontierSize > 0)
+      throw new IllegalStateException(
+        s"multiSourceBfs frontier still non-empty after $maxIter rounds " +
+        s"($frontierSize nodes); raise maxIter")
     dist
   }
 
-  /** Shortest distance between two node sets (Q3, analysis.py:116-161).
-    * `min`: one multi-source BFS from A, min over B (the reference's
-    * multi_source_dijkstra). `mean`: average over all REACHABLE (u, v)
-    * PAIRS — the reference loops pairwise (analysis.py:148-158); here one
-    * BFS labeled per source node computes every d(u, ·) at once (the
-    * O(|A|·|B|) quadratic-cost warning applies to labels, not rounds).
-    * No row / null = NoPath.
+  /** Shortest distance between two node MULTISETS (Q3,
+    * analysis.py:116-161). `min`: one multi-source BFS from A, min over B
+    * (the reference's multi_source_dijkstra; multiplicity is
+    * distance-neutral). `mean`: average over all REACHABLE (u, v) PAIRS —
+    * the reference loops pairwise over the raw lists
+    * (analysis.py:148-158), so a node appearing twice in a set weights
+    * its pairs twice; here one BFS labeled per DISTINCT source node
+    * computes every d(u, ·) once and the multiplicities re-weight the
+    * average (the O(|A|·|B|) quadratic-cost warning applies to labels,
+    * not rounds). `weighted` routes to the Dijkstra analog, matching the
+    * reference's always-on weight="weight". No row / null = NoPath.
     */
   def setDistance(edges: DataFrame, setA: DataFrame, setB: DataFrame,
-                  method: String = "min", directed: Boolean = false)
+                  method: String = "min", directed: Boolean = false,
+                  weighted: Boolean = false)
       : DataFrame = method match {
     case "min" =>
-      multiSourceBfsUntil(edges, setA.select(lit("a").as("tag"), col("node")),
-                          stopSet = Some(setB), directed)
-        .join(setB.select(col("node")), Seq("node"), "left_semi")
+      val d =
+        if (weighted)
+          weightedMultiSourceDist(
+            edges, setA.select(lit("a").as("tag"), col("node")), directed)
+        else
+          multiSourceBfsUntil(edges, setA.select(lit("a").as("tag"), col("node")),
+                              stopSet = Some(setB), directed)
+      d.join(setB.select(col("node")).distinct(), Seq("node"), "left_semi")
         .agg(min("dist").as("dist"))
     case "mean" =>
-      multiSourceBfs(edges, setA.select(col("node").as("tag"), col("node")),
-                     directed)
-        .join(setB.select(col("node")), Seq("node"), "left_semi")
-        .agg(avg("dist").as("dist"))
+      val cntA = setA.groupBy("node").agg(count(lit(1)).as("cnt_a"))
+        .withColumnRenamed("node", "tag")
+      val cntB = setB.groupBy("node").agg(count(lit(1)).as("cnt_b"))
+      val seeds = setA.select(col("node").as("tag"), col("node")).distinct()
+      val d = if (weighted) weightedMultiSourceDist(edges, seeds, directed)
+              else multiSourceBfs(edges, seeds, directed)
+      d.join(cntB, Seq("node"))
+        .join(cntA, Seq("tag"))
+        .agg((sum(col("dist").cast("double") * col("cnt_a") * col("cnt_b")) /
+              sum(col("cnt_a") * col("cnt_b"))).as("dist"))
     case other => throw new IllegalArgumentException(s"method: $other")
   }
 
@@ -182,7 +208,7 @@ object Graph {
     */
   def weightedMultiSourceDist(edges: DataFrame, seeds: DataFrame,
                               directed: Boolean = false,
-                              maxIter: Int = 64): DataFrame = {
+                              maxIter: Int = 512): DataFrame = {
     val w = coalesce(col("weight").cast("double"), lit(1.0)).as("w")
     val adjBase = edges.select(col("src"), col("dst"), w)
     val adj = (if (directed) adjBase
@@ -219,6 +245,10 @@ object Graph {
       iter += 1
     }
     adj.unpersist(blocking = false)
+    if (frontierSize > 0)
+      throw new IllegalStateException(
+        s"weightedMultiSourceDist still improving after $maxIter rounds " +
+        s"($frontierSize labels); raise maxIter")
     dist
   }
 
@@ -238,10 +268,16 @@ object Graph {
     */
   def groupDistanceMatrix(edges: DataFrame, membership: DataFrame,
                           method: String = "min",
-                          directed: Boolean = false): DataFrame = {
-    val distAll = multiSourceBfs(edges, membership.select("tag", "node"),
-                                 directed)
-    method match {
+                          directed: Boolean = false,
+                          weighted: Boolean = false,
+                          emitInf: Boolean = false): DataFrame = {
+    val distAll =
+      if (weighted)
+        weightedMultiSourceDist(edges, membership.select("tag", "node"),
+                                directed)
+      else
+        multiSourceBfs(edges, membership.select("tag", "node"), directed)
+    val core = method match {
       case "min" =>
         distAll
           .join(membership.select(col("tag").as("tag_b"), col("node")).distinct(),
@@ -264,6 +300,20 @@ object Graph {
                   lit(0.0).as("dist"))
         sym.unionByName(diag)
       case other => throw new IllegalArgumentException(s"method: $other")
+    }
+    if (!emitInf) core
+    else {
+      // reference parity: unreachable pairs are inf cells in the dense
+      // matrix (analysis.py:252, 263) — fill the full tag×tag cross with
+      // +Infinity where no path was found. tag cardinality = #paths, a
+      // dimension table, so the cross join is small and broadcast.
+      val tags = membership.select("tag").distinct()
+      tags.select(col("tag").as("tag_a"))
+        .crossJoin(tags.select(col("tag").as("tag_b")))
+        .join(core.withColumnRenamed("dist", "d"), Seq("tag_a", "tag_b"), "left")
+        .select(col("tag_a"), col("tag_b"),
+                coalesce(col("d").cast("double"),
+                         lit(Double.PositiveInfinity)).as("dist"))
     }
   }
 

@@ -21,14 +21,19 @@ object Pairing {
     val u = turns.where(col("role") === "user")
       .select(col("conv_id"), col("turn_idx").as("user_idx"),
               col("text").as("user_text"), col("ts").as("user_ts"))
+    // the adjacency condition is precomputed into the join key so the
+    // full (conv_id, user_idx) pair is the equi-key — joining on conv_id
+    // alone would nested-loop within hot conversations, and the
+    // u("conv_id") === a("conv_id") dataframe-column form compiles to a
+    // trivially-true self-equality only rescued by Spark 4's dataset-id
+    // disambiguation (fragile across optimizer changes)
     val a = turns.where(col("role") === "assistant")
-      .select(col("conv_id"), col("turn_idx").as("asst_idx"),
+      .select(col("conv_id"), (col("turn_idx") - 1).as("user_idx"),
+              col("turn_idx").as("asst_idx"),
               col("text").as("asst_text"), col("ts").as("asst_ts"))
-    val joined = u.join(a,
-      u("conv_id") === a("conv_id") && a("asst_idx") === u("user_idx") + 1,
-      "inner")
+    val joined = u.join(a, Seq("conv_id", "user_idx"), "inner")
     joined.select(
-      u("conv_id"), col("user_idx"), col("asst_idx"),
+      col("conv_id"), col("user_idx"), col("asst_idx"),
       expr("timestampdiff(MICROSECOND, user_ts, asst_ts)").as("latency_us"))
       .where(col("latency_us") <= maxGapSec * 1000000L && col("latency_us") >= 0)
   }

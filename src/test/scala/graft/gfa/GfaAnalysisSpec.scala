@@ -46,6 +46,83 @@ class GfaAnalysisSpec extends SparkSuite {
     assert(d.isEmpty || d(0).isNullAt(0))
   }
 
+  // weighted fixture (goldens produced by RUNNING the reference with
+  // parse_gfa(weight_tag="RC") + analysis.{sequence,genome}_distance and
+  // the matrix cache formula, analysis.py:236-266):
+  // undirected weighted edges s1-s2=5, s2-s3=2, s1-s3=9;
+  // p1=[s1], p2=[s3,s2], p3=[s1,s1,s2] (multiset)
+  private def weightedGfa = gfaLines(
+    "S\ts1\tACGT", "S\ts2\tTTTT", "S\ts3\tGGGG",
+    "L\ts1\t+\ts2\t+\t0M\tRC:i:5",
+    "L\ts2\t+\ts3\t+\t0M\tRC:i:2",
+    "L\ts1\t+\ts3\t+\t0M\tRC:i:9",
+    "P\tp1\ts1+\t*", "P\tp2\ts3+,s2+\t*", "P\tp3\ts1+,s1+,s2+\t*")
+  private def wOpts = GfaOptions(directed = false, weightTag = Some("RC"))
+
+  test("weighted sequence_distance == 7.0 (reference golden)") {
+    val d = GfaAnalysis.sequenceDistance(weightedGfa, "ACGT", "GGGG", wOpts).head()
+    assert(d.getDouble(0) == 7.0)
+  }
+
+  test("weighted genome_distance min/mean (reference goldens)") {
+    assert(GfaAnalysis.genomeDistance(weightedGfa, "p1", "p2", "min", wOpts)
+      .head().getDouble(0) == 5.0)
+    assert(GfaAnalysis.genomeDistance(weightedGfa, "p1", "p2", "mean", wOpts)
+      .head().getDouble(0) == 6.0)
+    // multiset mean: p3 visits s1 twice → pairs weighted twice → 26/6
+    assert(math.abs(GfaAnalysis.genomeDistance(weightedGfa, "p3", "p2", "mean", wOpts)
+      .head().getDouble(0) - 26.0 / 6) < 1e-12)
+  }
+
+  test("weighted genome_distance directed: NoPath when unreachable (reference golden)") {
+    val dOpts = GfaOptions(directed = true, weightTag = Some("RC"))
+    assert(GfaAnalysis.genomeDistance(weightedGfa, "p1", "p2", "min", dOpts)
+      .head().getDouble(0) == 5.0)
+    assert(GfaAnalysis.genomeDistance(weightedGfa, "p1", "p2", "mean", dOpts)
+      .head().getDouble(0) == 6.0)
+    val noPath = GfaAnalysis.genomeDistance(weightedGfa, "p2", "p1", "min", dOpts)
+      .collect()
+    assert(noPath.isEmpty || noPath(0).isNullAt(0))
+  }
+
+  test("weighted distance matrix min+mean (reference cache-formula goldens)") {
+    val mMin = GfaAnalysis.genomeDistanceMatrix(weightedGfa, "min", wOpts)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(mMin(("p1", "p2")) == 5.0 && mMin(("p2", "p1")) == 5.0)
+    assert(mMin(("p1", "p3")) == 0.0 && mMin(("p2", "p3")) == 0.0)
+    val mMean = GfaAnalysis.genomeDistanceMatrix(weightedGfa, "mean", wOpts)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(math.abs(mMean(("p1", "p2")) - 17.0 / 3) < 1e-12)
+    assert(math.abs(mMean(("p1", "p3")) - 1.25) < 1e-12)
+    assert(math.abs(mMean(("p2", "p3")) - 2.4) < 1e-12)
+    assert(mMean(("p3", "p3")) == 0.0)
+  }
+
+  test("distance matrix emitInf fills unreachable pairs with +inf (reference run)") {
+    val lines = gfaLines(
+      "S\ta1\t*", "S\ta2\t*", "S\tb1\t*",
+      "L\ta1\t+\ta2\t+\t0M",
+      "P\tpa\ta1+,a2+\t*", "P\tpb\tb1+\t*")
+    for (method <- Seq("min", "mean")) {
+      val m = GfaAnalysis.genomeDistanceMatrix(lines, method,
+          GfaOptions(directed = true), emitInf = true)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+      assert(m.size == 4, s"$method full matrix")
+      assert(m(("pa", "pa")) == 0.0 && m(("pb", "pb")) == 0.0)
+      assert(m(("pa", "pb")).isPosInfinity && m(("pb", "pa")).isPosInfinity)
+    }
+  }
+
+  test("bidirected sequence_distance resolves oriented nodes (reference goldens)") {
+    val bOpts = GfaOptions(directed = false, bidirected = true)
+    assert(GfaAnalysis.sequenceDistance(seqGfa, "ACGT", "TTTT", bOpts)
+      .head().getLong(0) == 1L)
+    val bw = gfaLines("S\ts1\tACGT", "S\ts2\tTTTT", "L\ts1\t+\ts2\t+\t0M\tRC:i:5")
+    assert(GfaAnalysis.sequenceDistance(bw, "ACGT", "TTTT",
+        GfaOptions(directed = false, bidirected = true, weightTag = Some("RC")))
+      .head().getDouble(0) == 5.0)
+  }
+
   test("mean distance matrix: directed + multiset golden from reference run") {
     // golden computed by RUNNING genome_distance_matrix(method="mean") on
     // this literal: p1↔p2 = 1/3 (s1 unreachable from {s2,s3} on the
