@@ -131,6 +131,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // A8 under the driver oracle: the GENERIC iterative min-label
+    // propagation kernel on a non-chain graph (conversations linked by
+    // shared turn text — 33 components incl. one of size 11 at sf0.01),
+    // oracled by a DuckDB recursive transitive closure. This is the hard
+    // signal that the kernel (not a closed form) is correct.
+    "q_components" -> ((s, dir) => {
+      val (pairs, nodes) = overlapGraph(s, dir)
+      Graph.connectedComponents(pairs, Some(nodes))
+        .select(col("node").as("conv_id"), col("label").as("component"))
+    }),
+    // Q2/A11 under the driver oracle: the generic multi-source BFS kernel
+    // on the same overlap graph (depth ≥ 3 at sf0.01), oracled by a
+    // DuckDB recursive BFS.
+    "q_bfs_dist" -> ((s, dir) => {
+      val (pairs, nodes) = overlapGraph(s, dir)
+      Graph.multiSourceBfs(
+          pairs,
+          nodes.where(col("node").startsWith("c0d"))
+            .select(lit("a").as("tag"), col("node")),
+          directed = false)
+        .select(col("node"), col("dist"))
+    }),
+
     // --- training-data pipeline: documents ---
     "q_doc_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_doc_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))
@@ -188,9 +211,32 @@ object SparkEntry {
     })
   )
 
+  /** Shared non-chain test graph: conversations (restricted to two users'
+    * prefixes to bound the self-join) connected when they share a turn
+    * text — the q_conv_overlap edge set, symmetrization left to the
+    * kernels. Returns (edges src/dst, node set).
+    */
+  private def overlapGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = T(s, dir)
+      .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
+      .select("conv_id", "text").distinct()
+    val pairs = t.as("a").join(t.as("b"),
+        col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
+      .select(col("a.conv_id").as("src"), col("b.conv_id").as("dst")).distinct()
+    (pairs, t.select(col("conv_id").as("node")).distinct())
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def tsql(body: String): String = Transcripts.sql(body)
+
+  /** Overlap-graph CTE chain shared by the recursive-kernel oracles. */
+  private val overlapCte =
+    """, ct AS (SELECT DISTINCT conv_id, text FROM turns
+      |         WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'),
+      |ov AS (SELECT DISTINCT a.conv_id AS src, b.conv_id AS dst
+      |       FROM ct a JOIN ct b ON a.text = b.text AND a.conv_id < b.conv_id),
+      |e AS (SELECT src, dst FROM ov UNION SELECT dst AS src, src AS dst FROM ov)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_stats" -> tsql(
@@ -281,6 +327,24 @@ object SparkEntry {
       """SELECT text, COUNT(*) AS n_occurrences,
         |       MIN(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS first_node
         |FROM turns GROUP BY text HAVING COUNT(*) > 1""".stripMargin),
+    "q_components" -> Transcripts.sqlRecursive(overlapCte +
+      """,
+        |reach AS (
+        |  SELECT conv_id AS node, conv_id AS r FROM (SELECT DISTINCT conv_id FROM ct)
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+        |)
+        |SELECT node AS conv_id, MIN(r) AS component FROM reach GROUP BY node""".stripMargin),
+    "q_bfs_dist" -> Transcripts.sqlRecursive(overlapCte +
+      """,
+        |walk AS (
+        |  SELECT conv_id AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM (SELECT DISTINCT conv_id FROM ct) WHERE conv_id LIKE 'c0d%'
+        |  UNION
+        |  SELECT e.dst AS node, walk.dist + 1 AS dist
+        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
+        |)
+        |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""".stripMargin),
     "q_doc_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

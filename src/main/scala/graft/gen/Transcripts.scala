@@ -90,4 +90,11 @@ object Transcripts {
 
   /** Wrap a `SELECT ... FROM turns ...` body with the canonical CTE. */
   def sql(body: String): String = s"$sqlCte\n$body"
+
+  /** Same wrap with WITH RECURSIVE, for oracle bodies containing
+    * recursive CTEs (DuckDB requires the keyword on the WITH that opens
+    * the whole chain).
+    */
+  def sqlRecursive(body: String): String =
+    s"WITH RECURSIVE ${sqlCte.stripPrefix("WITH ")}\n$body"
 }
