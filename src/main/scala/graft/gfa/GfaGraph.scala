@@ -2,7 +2,6 @@ package graft.gfa
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Graph/matrix construction from parsed GFA records — the declarative
@@ -168,12 +167,18 @@ object GfaGraph {
     val firstSeen = segOcc.union(endpoints)
       .groupBy("node")
       .agg(min(struct(col("lineno"), col("sub"))).as("first"))
-    firstSeen
+    // scale-safe dense rank (same pattern as TurnGraph.nodeIndex): range
+    // partition + sort + zipWithIndex prefix sums — never a global window
+    val parted = firstSeen
       .select(col("node"), col("first.lineno").as("lineno"), col("first.sub").as("sub"))
-      .withColumn("idx",
-        (row_number().over(Window.orderBy(col("lineno"), col("sub"), col("node"))) - 1)
-          .cast("long"))
-      .select("node", "idx")
+      .repartitionByRange(col("lineno"), col("sub"), col("node"))
+      .sortWithinPartitions("lineno", "sub", "node")
+    val spark = lines.sparkSession
+    val rdd = parted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), i)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("node", StringType), StructField("idx", LongType))))
   }
 
   /** COO matrix entries (A2-A4; builders.py:216-230, 278-283): one row per

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Batch graph derivation over the Turn table.
   *
@@ -51,18 +52,29 @@ object TurnGraph {
     * deterministic rank over that key reproduces the reference mapping
     * while staying shuffle-stable. Emitted as the .nodes.tsv sidecar (S9).
     *
-    * Deliberately a single global window: the output is a dimension table
-    * (one row per node). At 10^12 turns one would switch to
-    * zipWithIndex-style per-partition offsets; the contract (dense, rank by
-    * (conv_id, turn_idx)) is what downstream code depends on, not the plan.
+    * Scale-safe dense rank: range-partition + sort on the key, then
+    * per-partition counts + prefix-sum offsets (RDD zipWithIndex — the
+    * distributed prefix-sum primitive). No single-partition Exchange
+    * anywhere: a global `row_number() over (order by …)` window would pull
+    * every row through ONE task. The result is deterministic even though
+    * range boundaries are sampled — the global sorted order is fixed, and
+    * zipWithIndex's count and map jobs share one shuffle materialization.
     */
-  def nodeIndex(turns: DataFrame): DataFrame =
-    turns
+  def nodeIndex(turns: DataFrame): DataFrame = {
+    val spark = turns.sparkSession
+    val parted = turns
       .select(col("conv_id"), col("turn_idx"))
-      .withColumn(
-        "node_idx",
-        (row_number().over(Window.orderBy("conv_id", "turn_idx")) - 1).cast("long"))
+      .repartitionByRange(col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+    val rdd = parted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), r.getInt(1), i)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+        StructField("conv_id", StringType),
+        StructField("turn_idx", IntegerType),
+        StructField("node_idx", LongType))))
       .withColumn("node_id", nodeId(col("conv_id"), col("turn_idx")))
+  }
 
   /** COO adjacency entries with explicit duplicate semantics (A3):
     * matrix view sums duplicate edges (scipy COO→CSR, utils.py:55),
