@@ -173,14 +173,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))),
 
     // --- similarity search: embeddings ---
+    // self-kNN-graph construction (every vector is a query) — the
+    // realistic ANN workload; rank on round(sim, 6) with id tie-break so
+    // the brute variant is exactly reproducible in DuckDB (list_dot_product)
     "q_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
-      Knn.bruteTopK(e, e.where(col("vec_id") < 20), 5)
+      Knn.bruteTopK(e, e, 5, simDecimals = 6)
         .select("query_id", "nbr_id", "rank")
     }),
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Knn.lshTopK(e, e.where(col("vec_id") < 20), 5)
+      Knn.lshTopK(e, e, 5, simDecimals = 6)
         .select("query_id", "nbr_id", "rank")
     }),
 
@@ -378,10 +381,25 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |       COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1""".stripMargin
-    // q_minhash_neardups / q_simhash_neardups / q_knn_* are hash-function-
-    // dependent (xxhash64) — not SQL-expressible in DuckDB; the driver
-    // records rows-only checks and ScalaTest covers them with planted
-    // fixtures (DedupSpec / KnnSpec).
+        |GROUP BY 1""".stripMargin,
+    // brute cosine top-k IS SQL-expressible: double-cast list_dot_product
+    // matches FloatVecDot's float→double accumulation, and ranking on
+    // round(sim, 6) + id tie-break removes cross-engine FP order effects
+    "q_knn_brute" ->
+      """SELECT query_id, nbr_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY round(
+        |             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+        |             c.vec_id ASC) AS INTEGER) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin
+    // q_minhash_neardups / q_simhash_neardups / q_knn_lsh / q_emb_neardups
+    // are hash-function-dependent (xxhash64 signatures) — not
+    // SQL-expressible in DuckDB; the driver records rows-only checks and
+    // ScalaTest covers them with planted fixtures (DedupSpec / KnnSpec).
   )
 }

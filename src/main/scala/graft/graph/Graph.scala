@@ -55,7 +55,9 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, allNodes: Option[DataFrame] = None,
                           maxIter: Int = 50): DataFrame = {
-    val und = undirected(edges)
+    // persist the adjacency: every round joins against it, and without a
+    // barrier each round would recompute the entire upstream derivation
+    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = allNodes
       .map(_.select(col("node")))
       .getOrElse(und.select(col("src").as("node")).distinct())
@@ -90,6 +92,7 @@ object Graph {
       labels = next
       iter += 1
     }
+    und.unpersist(blocking = false)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

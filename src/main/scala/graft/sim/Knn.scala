@@ -30,8 +30,8 @@ object Knn {
     * baseline the ANN path is validated against.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                simDecimals: Int = -1): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", norm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -40,28 +40,29 @@ object Knn {
       .select(col("query_id"), col("nbr_id"),
               (vec_dot(col("q_vec"), col("nbr_vec")) /
                 (col("q_norm") * col("nbr_norm"))).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(rankWindow(simDecimals)))
       .where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane sign for (plane j, dim i):
-    * ±1 from xxhash64 — the hyperplane matrix is never materialized.
+  /** Rank window for top-k: `simDecimals ≥ 0` ranks on the ROUNDED
+    * similarity (ties broken by ascending neighbor id) so the ordering is
+    * reproducible across engines with different floating-point
+    * accumulation orders — required for cross-engine (DuckDB) oracles.
     */
-  private def planeSign(j: Int, i: Column): Column =
-    when(xxhash64(lit(j), i).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
-
-  /** `bits`-bit random-hyperplane signature (SimHash for vectors). */
-  def lshSignature(vec: Column, bits: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    (0 until bits).map { j =>
-      val s = aggregate(
-        zip_with(vec, dims, (x, i) => x.cast("double") * planeSign(j, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  private def rankWindow(simDecimals: Int) = {
+    val key = if (simDecimals >= 0) round(col("sim"), simDecimals) else col("sim")
+    Window.partitionBy("query_id").orderBy(key.desc, col("nbr_id").asc)
   }
+
+  /** `bits`-bit random-hyperplane signature (SimHash for vectors): one
+    * codegen'd pass over the float array
+    * ([[graft.functions.HyperplaneSig]]). The previous HOF formulation
+    * (32 × `aggregate(zip_with(...))`) was interpreted per element and
+    * made the ANN "scale path" slower than the brute baseline it was
+    * supposed to beat.
+    */
+  def lshSignature(vec: Column, bits: Int): Column =
+    graft.functions.VecFunctions.hyperplane_sig(vec, bits)
 
   /** LSH-bucketed approximate top-k: candidates share at least one
     * `bandBits`-bit chunk of the hyperplane signature; exact cosine rerank
@@ -70,28 +71,38 @@ object Knn {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              bits: Int = 32, bandBits: Int = 8): DataFrame = {
+              bits: Int = 32, bandBits: Int = 8,
+              simDecimals: Int = -1): DataFrame = {
     require(bits % bandBits == 0)
     val nChunks = bits / bandBits
     val mask = (1L << bandBits) - 1
-    def chunked(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-                lshSignature(col(vecCol), bits).as("sig"))
-        .select(col(idAs), col(vecAs),
+    def chunkedIds(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs), lshSignature(col(vecCol), bits).as("sig"))
+        .select(col(idAs),
           posexplode(array((0 until nChunks).map { c =>
             shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
           }: _*)).as(Seq("chunk", "chunk_val")))
-    val c = chunked(corpus, "nbr_id", "nbr_vec")
-    val q = chunked(queries, "query_id", "q_vec")
-    val cands = c.join(q,
-        Seq("chunk", "chunk_val")).where(col("query_id") =!= col("nbr_id"))
-      .select("query_id", "q_vec", "nbr_id", "nbr_vec").distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    cands
+    // candidate id pairs ride the banding join WITHOUT vector payloads —
+    // the nChunks-fold explode would otherwise push every vector through
+    // the shuffle nChunks times; vectors are fetched once at rerank
+    val cands = chunkedIds(corpus, "nbr_id")
+      .join(broadcast(chunkedIds(queries, "query_id")), Seq("chunk", "chunk_val"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "nbr_id").distinct()
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    // cands is small by construction (|queries| × bucket-capped matches):
+    // broadcasting it keeps the corpus unshuffled — the rerank is then a
+    // single map-side pass over the corpus scan
+    val scored = c
+      .join(broadcast(cands), Seq("nbr_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
-              cosine(col("q_vec"), col("nbr_vec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
+              (vec_dot(col("q_vec"), col("nbr_vec")) /
+                (col("q_norm") * col("nbr_norm"))).as("sim"))
+    scored.withColumn("rank", row_number().over(rankWindow(simDecimals)))
       .where(col("rank") <= k)
   }
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines: exact (hash
   * group-by), MinHash+LSH, SimHash, and n-gram Jaccard verification.
@@ -81,16 +82,45 @@ object Dedup {
       .where(size(col("sh")) > 0)
   }
 
-  private def candidatesFrom(sh: DataFrame, numHashes: Int, bands: Int)
-      : DataFrame = {
+  /** Production guard for LSH banding: every member pair of one bucket
+    * self-joins, so one boilerplate cluster of 10⁶ near-identical docs
+    * would make a single bucket O(cluster²) = 10¹² candidate pairs.
+    * Buckets above `maxBucket` members are DROPPED from candidate
+    * generation (their contents belong to exact dedup, which handles
+    * identical-signature clusters in one linear shuffle); the dropped
+    * buckets are reported by the `*OversizeBuckets` side outputs. The
+    * window count rides the same (band, band_hash) shuffle the candidate
+    * self-join needs anyway.
+    */
+  private def capBuckets(banded: DataFrame, bandCols: Seq[String],
+                         maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else banded
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(bandCols.map(col): _*)))
+      .where(col("bsz") <= maxBucket).drop("bsz")
+
+  private def oversize(banded: DataFrame, bandCols: Seq[String],
+                       maxBucket: Int): DataFrame =
+    banded.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+
+  private def bandedOf(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigs = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sigs.select(
-      col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))
-      }: _*)).as(Seq("band", "band_hash")))
+    sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))
+        }: _*)).as(Seq("band", "band_hash")))
+  }
+
+  private def candidatesFrom(sh: DataFrame, numHashes: Int, bands: Int,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(bandedOf(sh, numHashes, bands),
+                            Seq("band", "band_hash"), maxBucket)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -99,6 +129,25 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** Default LSH bucket-size cap: 10⁴ members = ≤ 5·10⁷ pairs per bucket,
+    * bounded work per task; raise explicitly for corpora where genuine
+    * (non-exact-dup) clusters are expected to be larger.
+    */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Counted side output of the bucket cap: MinHash band buckets whose
+    * membership exceeded `maxBucket` (dropped from candidate generation),
+    * with their sizes — the observability half of the guard rail (the
+    * reference's blowup-warning philosophy, builders.py:379-380).
+    */
+  def minhashOversizeBuckets(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", shingleK: Int = 5,
+                             numHashes: Int = 32, bands: Int = 8,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame =
+    oversize(bandedOf(hashedDocs(docs, idCol, textCol, shingleK),
+                      numHashes, bands),
+             Seq("band", "band_hash"), maxBucket)
 
   private def verifyFrom(sh: DataFrame, candidates: DataFrame): DataFrame =
     candidates
@@ -114,8 +163,10 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame =
-    candidatesFrom(hashedDocs(docs, idCol, textCol, shingleK), numHashes, bands)
+                        bands: Int = 8,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    candidatesFrom(hashedDocs(docs, idCol, textCol, shingleK), numHashes,
+                   bands, maxBucket)
 
   /** Shingle-set Jaccard for candidate pairs — the verification step after
     * LSH (computed on hashed shingle sets).
@@ -133,9 +184,10 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", shingleK: Int = 5,
                       numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = hashedDocs(docs, idCol, textCol, shingleK)
-    verifyFrom(sh, candidatesFrom(sh, numHashes, bands))
+    verifyFrom(sh, candidatesFrom(sh, numHashes, bands, maxBucket))
       .where(col("jaccard") >= threshold)
   }
 
@@ -155,33 +207,66 @@ object Dedup {
   /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets the
     * corpus against itself, exact cosine verifies candidates ≥ threshold —
     * the vector-space member of the dedup family (pairs with id_a < id_b).
+    *
+    * Scale shape: the banding self-join carries ONLY ids (the chunk
+    * explode would otherwise copy every vector nChunks times through the
+    * shuffle, and the old pair-level distinct() shuffled two full vectors
+    * per row); vectors and norms are fetched once per side at rerank.
+    * Buckets above `maxBucket` are dropped ([[capBuckets]]).
     */
   def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         threshold: Double = 0.95,
-                        bits: Int = 32, bandBits: Int = 8): DataFrame = {
+                        bits: Int = 32, bandBits: Int = 8,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.sim.Knn
     require(bits % bandBits == 0)
     val nChunks = bits / bandBits
     val mask = (1L << bandBits) - 1
     val chunked = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-              Knn.lshSignature(col(vecCol), bits).as("sig"))
-      .select(col("id"), col("v"),
+      .select(col(idCol).as("id"), Knn.lshSignature(col(vecCol), bits).as("sig"))
+      .select(col("id"),
         posexplode(array((0 until nChunks).map { c =>
           shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
         }: _*)).as(Seq("chunk", "chunk_val")))
-    chunked.as("a")
-      .join(chunked.as("b"),
+    val capped = capBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
+    val cands = capped.as("a")
+      .join(capped.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+      .withColumn("vn", Knn.norm(col("vv")))
+    cands
+      .join(v.select(col("vid").as("id_a"), col("vv").as("va"),
+                     col("vn").as("na")), Seq("id_a"))
+      .join(v.select(col("vid").as("id_b"), col("vv").as("vb"),
+                     col("vn").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-              Knn.cosine(col("va"), col("vb")).as("cosine"))
+              (Knn.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+                .as("cosine"))
       .where(col("cosine") >= threshold)
+  }
+
+  /** Counted side output: over-cap embedding LSH buckets (see
+    * [[minhashOversizeBuckets]]).
+    */
+  def embeddingOversizeBuckets(emb: DataFrame, idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               bits: Int = 32, bandBits: Int = 8,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.sim.Knn
+    val nChunks = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val chunked = emb
+      .select(col(idCol).as("id"), Knn.lshSignature(col(vecCol), bits).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until nChunks).map { c =>
+          shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
+        }: _*)).as(Seq("chunk", "chunk_val")))
+    oversize(chunked, Seq("chunk", "chunk_val"), maxBucket)
   }
 
   /** 64-bit SimHash signature per doc: bit j is the sign of
@@ -212,14 +297,17 @@ object Dedup {
     * chunks), verified by exact hamming ≤ maxHamming via bit_count(xor).
     */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", maxHamming: Int = 6)
+                      textCol: String = "text", maxHamming: Int = 6,
+                      maxBucket: Int = DefaultMaxBucket)
       : DataFrame = {
     val sigs = simhash(docs, idCol, textCol)
-    val chunked = sigs.select(
-      col("id"), col("simhash"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
-      }: _*)).as(Seq("chunk", "chunk_val")))
+    val chunked = capBuckets(
+      sigs.select(
+        col("id"), col("simhash"),
+        posexplode(array((0 until 4).map { c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
+        }: _*)).as(Seq("chunk", "chunk_val"))),
+      Seq("chunk", "chunk_val"), maxBucket)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&

@@ -58,6 +58,30 @@ class GuardsSpec extends SparkSuite {
       GfaOptions(directed = false))) // undirected view → no warning
   }
 
+  test("LSH bucket cap: planted identical-doc cluster is dropped and counted") {
+    import graft.text.Dedup
+    // 1,000 byte-identical docs (one giant LSH bucket per band) + a pair
+    // of genuine near-dups that must SURVIVE the cap
+    val cluster = (0 until 1000).map(i => (i.toLong, "the same boilerplate text repeated verbatim across the corpus"))
+    val nearPair = Seq(
+      (2000L, "an unrelated document about distributed query engines and shuffles"),
+      (2001L, "an unrelated document about distributed query engines and sorts"))
+    val docs = (cluster ++ nearPair).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(docs, threshold = 0.0, maxBucket = 50)
+      .collect()
+    // without the cap the cluster alone yields 1000*999/2 ≈ 5·10⁵ pairs
+    assert(capped.length < 100, s"candidates not bounded: ${capped.length}")
+    assert(capped.exists(r => r.getLong(0) == 2000L && r.getLong(1) == 2001L),
+      "sub-cap near-dup pair must survive")
+    // counted side output reports the dropped buckets (8 bands × 1 bucket)
+    val dropped = Dedup.minhashOversizeBuckets(docs, maxBucket = 50).collect()
+    assert(dropped.length == 8)
+    assert(dropped.forall(_.getAs[Long]("n_members") == 1000L))
+    // the identical cluster is exact-dedup's job, and it still catches it
+    val ex = Dedup.exact(docs).where(col("n_docs") === 1000).collect()
+    assert(ex.length == 1)
+  }
+
   test("split blowup ratio guard (builders.py:379-380)") {
     val lines = gfaLines(
       "S\ts1\t10", "S\ts2\t10",

@@ -42,6 +42,26 @@ class KnnSpec extends SparkSuite {
     assert(math.abs(s - 1.0) < 1e-9)
   }
 
+  test("codegen HyperplaneSig is bit-exact vs the HOF formulation") {
+    // the Column-DSL twin the codegen expression replaced — kept here as
+    // the semantic oracle (same xxhash64 fold, same addition order)
+    def hofSig(vec: org.apache.spark.sql.Column, bits: Int) = {
+      val dims = sequence(lit(0), size(vec) - 1)
+      (0 until bits).map { j =>
+        val sign = (i: org.apache.spark.sql.Column) =>
+          when(xxhash64(lit(j), i).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+        val s = aggregate(
+          zip_with(vec, dims, (x, i) => x.cast("double") * sign(i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    val both = vecs.select(
+      Knn.lshSignature(col("embedding"), 32).as("fast"),
+      hofSig(col("embedding"), 32).as("slow"))
+    assert(both.where(col("fast") =!= col("slow")).isEmpty)
+  }
+
   test("LSH top-k recall vs brute force ≥ 0.8 on clustered data") {
     val q = vecs.where(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()

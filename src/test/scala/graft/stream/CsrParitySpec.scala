@@ -14,6 +14,23 @@ import graft.schema.Turn
 class CsrParitySpec extends SparkSuite {
   import spark.implicits._
 
+  test("ConvCsrAggregator handles a 5k-turn hot conversation with duplicates") {
+    // the skewed-generator shape the quadratic reduce choked on: one key,
+    // thousands of rows, replayed duplicates — finish dedups+sorts once
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 5000).map(i =>
+      Turn("hot", i % 2500, if (i % 2 == 0) "user" else "assistant",
+           s"t$i", null, ts0)) // every turn_idx appears twice
+    val out = spark.createDataset(rows)
+      .groupByKey(_.conv_id)
+      .agg(ConvCsrAggregator.toColumn.name("csr"))
+      .select(col("csr.n_turns"), col("csr.min_idx"), col("csr.max_idx"),
+              col("csr.contiguous"))
+      .head()
+    assert(out.getInt(0) == 2500 && out.getInt(1) == 0 &&
+           out.getInt(2) == 2499 && out.getBoolean(3))
+  }
+
   test("CsrState final summaries == ConvCsrAggregator batch results") {
     val data = SynthTranscripts.turnRows(6, 9)
     val maxTs = data.map(_.ts.getTime).max
