@@ -29,9 +29,18 @@ object Bench {
       gen.Transcripts.turns(spark, sfDir).limit(1000).count()
     } catch { case _: Throwable => () }
 
+    // measure full materialization, not .count(): column pruning would
+    // otherwise delete unreferenced projections and time only the scan.
+    // A hash over EVERY output column forces the whole row to be computed;
+    // the double-sum aggregate avoids ANSI long-overflow on the fold.
+    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(sum(col("h").cast("double"))).collect()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -21,15 +21,18 @@ object DistributedTranscripts {
     z ^ (z >>> 31)
   }
 
-  /** conv c gets baseTurns turns, hot convs (every 97th) 16× — the
-    * zipf-ish skew that exercises salting/AQE paths at scale.
+  /** conv c gets baseTurns turns, hot convs (every `hotEvery`-th)
+    * `hotFactor`× — the zipf-ish skew that exercises salting/AQE paths at
+    * scale. Crank hotFactor up (e.g. 5000) for single-mega-conversation
+    * skew benchmarks.
     */
   def turns(spark: SparkSession, nConvs: Long, baseTurns: Int,
-            seed: Long = 42L): Dataset[Turn] = {
+            seed: Long = 42L, hotEvery: Int = 97, hotFactor: Int = 16)
+      : Dataset[Turn] = {
     import spark.implicits._
     val t0 = 1704067200000L
     spark.range(0L, nConvs).flatMap { c =>
-      val hot = if (c % 97 == 0) baseTurns * 16 else baseTurns
+      val hot = if (c % hotEvery == 0) baseTurns * hotFactor else baseTurns
       val conv = s"conv$c"
       var ts = t0 + (mix(seed ^ c) % (30L * 86400000L)).abs
       (0 until hot).iterator.map { i =>

@@ -55,23 +55,45 @@ object CsrState {
     (indptr, indices)
   }
 
+  /** One micro-batch's pre-aggregated slice of a conversation: the
+    * distinct sorted turn indices seen by ONE input partition plus their
+    * max event time — the map-side-combine unit of [[attachSalted]].
+    */
+  case class ConvPartial(conv_id: String, idxs: Array[Int], max_ts: Timestamp)
+
   def update(idleTimeoutMs: Long)(
       convId: String, turns: Iterator[Turn], state: GroupState[ConvState])
-      : Iterator[ConvUpdate] = {
+      : Iterator[ConvUpdate] =
+    advance(idleTimeoutMs, convId, state,
+      turns.map(t => (t.turn_idx, t.ts.getTime)))
+
+  private def updateFromPartials(idleTimeoutMs: Long)(
+      convId: String, parts: Iterator[ConvPartial],
+      state: GroupState[ConvState]): Iterator[ConvUpdate] =
+    advance(idleTimeoutMs, convId, state,
+      parts.flatMap(p => p.idxs.iterator.map(i => (i, p.max_ts.getTime))))
+
+  private def advance(idleTimeoutMs: Long, convId: String,
+                      state: GroupState[ConvState],
+                      incoming: Iterator[(Int, Long)]): Iterator[ConvUpdate] = {
     if (state.hasTimedOut) {
       val s = state.get
       val out = summarize(convId, s, isFinal = true)
       state.remove()
       Iterator.single(out)
     } else {
-      val incoming = turns.toArray
       val prev = state.getOption.getOrElse(ConvState(Array.empty, 0L, false))
-      val seen = (prev.seen ++ incoming.map(_.turn_idx)).distinct.sorted
-      val lastTs = math.max(prev.lastTsMs,
-        if (incoming.isEmpty) 0L else incoming.map(_.ts.getTime).max)
-      val next = ConvState(seen, lastTs, finalized = false)
+      val b = new scala.collection.mutable.ArrayBuilder.ofInt
+      b ++= prev.seen
+      var maxTs = prev.lastTsMs
+      incoming.foreach { case (i, ts) =>
+        b += i
+        if (ts > maxTs) maxTs = ts
+      }
+      val seen = b.result().distinct.sorted
+      val next = ConvState(seen, maxTs, finalized = false)
       state.update(next)
-      state.setTimeoutTimestamp(lastTs + idleTimeoutMs)
+      state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
       Iterator.single(summarize(convId, next, isFinal = false))
     }
   }
@@ -108,5 +130,55 @@ object CsrState {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         update(timeoutMs))
+  }
+
+  /** Skew-hardened variant (A14/X2 wired into the stateful path): a
+    * map-side partial aggregation per INPUT PARTITION compacts each
+    * conversation's micro-batch slice into one (idxs[], max_ts) row before
+    * the keyed-state shuffle — the input partition plays the salt. A hot
+    * conversation with 10⁶ rows in one micro-batch then crosses the
+    * shuffle as ≤ numPartitions compact partials instead of 10⁶ Turn
+    * objects, and the single state task merges pre-sorted arrays instead
+    * of iterating raw rows. The event-time tag does not survive the
+    * object map, so THIS operator declares the watermark on `max_ts`
+    * with `watermarkDelay` — pass an UN-watermarked stream (Spark
+    * disallows redefining a watermark in one chain). Per-partition max
+    * preserves the global batch max, so the watermark value (and thus
+    * timeout behavior) is identical to [[attach]] over the same input.
+    * Output is row-identical to attach (CsrParitySpec).
+    */
+  def attachSalted(turns: Dataset[Turn], idleTimeout: String = "1 hour",
+                   watermarkDelay: String = "10 minutes")
+      : Dataset[ConvUpdate] = {
+    implicit val pEnc = Encoders.product[ConvPartial]
+    implicit val stateEnc = Encoders.product[ConvState]
+    implicit val outEnc = Encoders.product[ConvUpdate]
+    val ms = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val timeoutMs = ms.months * 2592000000L + ms.days * 86400000L +
+      ms.microseconds / 1000L
+    val partials = turns.mapPartitions { it =>
+      final class Acc {
+        val b = new scala.collection.mutable.ArrayBuilder.ofInt
+        var maxTs = Long.MinValue
+      }
+      val m = scala.collection.mutable.HashMap.empty[String, Acc]
+      it.foreach { t =>
+        val a = m.getOrElseUpdate(t.conv_id, new Acc)
+        a.b += t.turn_idx
+        val ts = t.ts.getTime
+        if (ts > a.maxTs) a.maxTs = ts
+      }
+      m.iterator.map { case (c, a) =>
+        ConvPartial(c, a.b.result().distinct.sorted, new Timestamp(a.maxTs))
+      }
+    }
+    partials
+      .withWatermark("max_ts", watermarkDelay)
+      .groupByKey(_.conv_id)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateFromPartials(timeoutMs))
   }
 }

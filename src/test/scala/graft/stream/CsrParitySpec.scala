@@ -31,6 +31,34 @@ class CsrParitySpec extends SparkSuite {
            out.getInt(2) == 2499 && out.getBoolean(3))
   }
 
+  test("attachSalted == attach row-for-row (skew pre-aggregation parity)") {
+    val data = SynthTranscripts.turnRows(5, 11)
+    def run(salted: Boolean, name: String) = {
+      val ms = MemoryStream[Turn](
+        implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+      // attachSalted declares its own watermark (on the partials' max_ts)
+      val out = if (salted)
+        CsrState.attachSalted(ms.toDS(), "5 minutes", "1 minute")
+      else
+        CsrState.attach(ms.toDS().withWatermark("ts", "1 minute"), "5 minutes")
+      val q = out.toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      ms.addData(data.sortBy(_.ts.getTime))
+      q.processAllAvailable()
+      val maxTs = data.map(_.ts.getTime).max
+      ms.addData(Seq(Turn("zzz-sentinel", 0, "user", "x", None,
+        new java.sql.Timestamp(maxTs + 3600000L))))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.toSeq.mkString("|")).sorted.toSeq
+    }
+    val plain = run(salted = false, "csr_plain")
+    val salted = run(salted = true, "csr_salted")
+    assert(plain == salted)
+    assert(plain.nonEmpty)
+  }
+
   test("CsrState final summaries == ConvCsrAggregator batch results") {
     val data = SynthTranscripts.turnRows(6, 9)
     val maxTs = data.map(_.ts.getTime).max
