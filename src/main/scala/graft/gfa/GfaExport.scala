@@ -70,4 +70,74 @@ object GfaExport {
     GfaGraph.edges(lines, opts)
       .write.mode("overwrite").json(s"$dir/links")
   }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  /** Collect the graph to the driver for single-file XML serialization,
+    * guarded: GraphML/GEXF are driver-side formats for SMALL result
+    * graphs (the reference pipes the whole networkx object to a writer,
+    * cli.py:282-306); a distributed graph belongs in parquet/JSON.
+    */
+  private def collectGraph(lines: DataFrame, opts: GfaOptions, maxNodes: Long)
+      : (Seq[String], Seq[(String, String, Option[Double])]) = {
+    val nodes = GfaGraph.nodes(lines, opts).orderBy("node")
+      .collect().map(_.getString(0)).toSeq
+    if (nodes.length > maxNodes)
+      throw new IllegalStateException(
+        s"XML export of ${nodes.length} nodes exceeds maxNodes=$maxNodes; " +
+        "use parquet/JSON exports for large graphs")
+    val edges = GfaGraph.edges(lines, opts).orderBy("src", "dst")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+                 if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    (nodes, edges)
+  }
+
+  /** GraphML export (S12 tail; reference: nx.write_graphml via
+    * cli.py:282-306). Single-file XML, networkx-compatible schema: a
+    * `weight` edge key, edgedefault from the graph direction.
+    */
+  def saveGraphML(lines: DataFrame, path: String,
+                  opts: GfaOptions = GfaOptions(),
+                  maxNodes: Long = 1000000): Unit = {
+    val (nodes, edges) = collectGraph(lines, opts, maxNodes)
+    val sb = new StringBuilder
+    sb ++= "<?xml version='1.0' encoding='utf-8'?>\n"
+    sb ++= "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n"
+    sb ++= "  <key id=\"d0\" for=\"edge\" attr.name=\"weight\" attr.type=\"double\"/>\n"
+    sb ++= s"""  <graph edgedefault="${if (opts.graphDirected) "directed" else "undirected"}">\n"""
+    nodes.foreach(n => sb ++= s"""    <node id="${xmlEscape(n)}"/>\n""")
+    edges.foreach { case (s, d, w) =>
+      sb ++= s"""    <edge source="${xmlEscape(s)}" target="${xmlEscape(d)}">"""
+      w.foreach(v => sb ++= s"""<data key="d0">$v</data>""")
+      sb ++= "</edge>\n"
+    }
+    sb ++= "  </graph>\n</graphml>\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** GEXF 1.2 export (S12 tail; reference: nx.write_gexf). */
+  def saveGexf(lines: DataFrame, path: String,
+               opts: GfaOptions = GfaOptions(),
+               maxNodes: Long = 1000000): Unit = {
+    val (nodes, edges) = collectGraph(lines, opts, maxNodes)
+    val sb = new StringBuilder
+    sb ++= "<?xml version='1.0' encoding='utf-8'?>\n"
+    sb ++= "<gexf xmlns=\"http://gexf.net/1.2\" version=\"1.2\">\n"
+    sb ++= s"""  <graph defaultedgetype="${if (opts.graphDirected) "directed" else "undirected"}" mode="static">\n"""
+    sb ++= "    <nodes>\n"
+    nodes.foreach(n =>
+      sb ++= s"""      <node id="${xmlEscape(n)}" label="${xmlEscape(n)}"/>\n""")
+    sb ++= "    </nodes>\n    <edges>\n"
+    edges.zipWithIndex.foreach { case ((s, d, w), i) =>
+      val wAttr = w.map(v => s""" weight="$v"""").getOrElse("")
+      sb ++= s"""      <edge id="$i" source="${xmlEscape(s)}" target="${xmlEscape(d)}"$wAttr/>\n"""
+    }
+    sb ++= "    </edges>\n  </graph>\n</gexf>\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

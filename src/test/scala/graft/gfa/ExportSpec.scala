@@ -37,6 +37,32 @@ class ExportSpec extends SparkSuite {
     assert(spark.read.json(s"$dir/links").count() == 1)
   }
 
+  test("GraphML + GEXF round-trip via XML re-read (test_export_formats.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("exp_xml").toString
+    val wlines = gfaLines(
+      "S\ts1\tACGT", "S\ts<2>\tTTTT", // id with XML-special chars
+      "L\ts1\t+\ts<2>\t-\t0M\tRC:i:7")
+    val opts = GfaOptions(weightTag = Some("RC"))
+    GfaExport.saveGraphML(wlines, s"$dir/g.graphml", opts)
+    GfaExport.saveGexf(wlines, s"$dir/g.gexf", opts)
+    def parse(p: String) = javax.xml.parsers.DocumentBuilderFactory
+      .newInstance().newDocumentBuilder().parse(new java.io.File(p))
+    val gml = parse(s"$dir/g.graphml")
+    assert(gml.getElementsByTagName("node").getLength == 2)
+    assert(gml.getElementsByTagName("edge").getLength == 1)
+    val e = gml.getElementsByTagName("edge").item(0).asInstanceOf[org.w3c.dom.Element]
+    assert(e.getAttribute("target") == "s<2>")
+    assert(e.getElementsByTagName("data").item(0).getTextContent == "7.0")
+    val gexf = parse(s"$dir/g.gexf")
+    assert(gexf.getElementsByTagName("node").getLength == 2)
+    val ge = gexf.getElementsByTagName("edge").item(0).asInstanceOf[org.w3c.dom.Element]
+    assert(ge.getAttribute("weight") == "7.0" && ge.getAttribute("source") == "s1")
+    // guard: oversize graphs are refused
+    intercept[IllegalStateException] {
+      GfaExport.saveGraphML(wlines, s"$dir/g2.graphml", opts, maxNodes = 1)
+    }
+  }
+
   test("dense export under guard") {
     val dir = java.nio.file.Files.createTempDirectory("exp4").toString
     GfaExport.saveDense(GfaGraph.cooMatrix(lines), n = 2, s"$dir/dense")
