@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gen.Transcripts
+import graft.gfa.GfaParse
 import graft.graph.Graph
 import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
 import graft.sim.Knn
@@ -152,6 +153,54 @@ object SparkEntry {
             .select(lit("a").as("tag"), col("node")),
           directed = false)
         .select(col("node"), col("dist"))
+    }),
+
+    // GFA PARSE LAYER under the driver oracle: render the turn graph as
+    // GFA text (S records carrying the turn text as sequence, L records
+    // carrying the gap as an RC:i tag), parse it back through GfaParse
+    // (S5 dispatch, P1 tab-split, P2 S-record disambiguation, P3 tag map,
+    // P9 weight extraction), and aggregate — the oracle computes the same
+    // totals directly from turns, so any parse-layer regression breaks
+    // the hash match.
+    "q_gfa_stats" -> ((s, dir) => {
+      val t = T(s, dir)
+      val segLines = t.select(concat_ws("\t", lit("S"),
+          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
+        .as("value"))
+      val linkLines = TurnGraph.edges(t).select(concat_ws("\t", lit("L"),
+          TurnGraph.nodeId(col("conv_id"), col("src_idx")), lit("+"),
+          TurnGraph.nodeId(col("conv_id"), col("dst_idx")), lit("+"),
+          lit("0M"), concat(lit("RC:i:"), col("gap_us").cast("string")))
+        .as("value"))
+      val gfa = segLines.unionByName(linkLines)
+      val segAgg = GfaParse.segments(gfa).agg(
+        count(lit(1)).as("n_segments"),
+        sum(length(col("sequence"))).cast("long").as("seq_bytes"))
+      val linkAgg = GfaParse.links(gfa).agg(
+        count(lit(1)).as("n_links"),
+        sum(GfaParse.tagDouble(col("tags"), "RC")).as("total_weight"))
+      segAgg.crossJoin(linkAgg)
+    }),
+    // Q4 kernel under the driver oracle: all-pairs distance matrix over
+    // the overlap graph — groupDistanceMatrix(min) with per-conversation
+    // groups vs a DuckDB recursive all-sources BFS
+    "q_dist_matrix" -> ((s, dir) => {
+      val (pairs, nodes) = overlapGraph(s, dir)
+      Graph.groupDistanceMatrix(pairs,
+        nodes.select(col("node").as("tag"), col("node")),
+        method = "min", directed = false)
+    }),
+    // Q4 mean under the driver oracle: two user-prefix groups, the
+    // reference's two-directional node-to-other-group mean formula
+    // (analysis.py:254-262) reproduced in SQL
+    "q_dist_matrix_mean" -> ((s, dir) => {
+      val (pairs, nodes) = overlapGraph(s, dir)
+      val membership = nodes.select(
+        when(col("node").startsWith("c0d"), lit("g0")).otherwise(lit("g1"))
+          .as("tag"),
+        col("node"))
+      Graph.groupDistanceMatrix(pairs, membership, method = "mean",
+                                directed = false)
     }),
 
     // --- training-data pipeline: documents ---
@@ -348,6 +397,50 @@ object SparkEntry {
         |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
         |)
         |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""".stripMargin),
+    "q_gfa_stats" -> tsql(
+      """, e AS (
+        |  SELECT date_diff('microsecond', ts, LEAD(ts) OVER w) AS gap_us
+        |  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |  QUALIFY LEAD(turn_idx) OVER w IS NOT NULL)
+        |SELECT (SELECT COUNT(*) FROM turns) AS n_segments,
+        |       (SELECT CAST(SUM(LENGTH(text)) AS BIGINT) FROM turns) AS seq_bytes,
+        |       COUNT(*) AS n_links,
+        |       CAST(SUM(gap_us) AS DOUBLE) AS total_weight
+        |FROM e""".stripMargin),
+    "q_dist_matrix" -> Transcripts.sqlRecursive(overlapCte +
+      """,
+        |walk AS (
+        |  SELECT conv_id AS src, conv_id AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM (SELECT DISTINCT conv_id FROM ct)
+        |  UNION
+        |  SELECT walk.src, e.dst, walk.dist + 1
+        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
+        |)
+        |SELECT src AS tag_a, node AS tag_b, MIN(dist) AS dist
+        |FROM walk GROUP BY 1, 2""".stripMargin),
+    "q_dist_matrix_mean" -> Transcripts.sqlRecursive(overlapCte +
+      """,
+        |g AS (SELECT conv_id AS node,
+        |             CASE WHEN conv_id LIKE 'c0d%' THEN 'g0' ELSE 'g1' END AS tag
+        |      FROM (SELECT DISTINCT conv_id FROM ct)),
+        |walk AS (
+        |  SELECT tag AS src_tag, node, CAST(0 AS BIGINT) AS dist FROM g
+        |  UNION
+        |  SELECT walk.src_tag, e.dst, walk.dist + 1
+        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
+        |),
+        |dg AS (SELECT src_tag, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
+        |x AS (SELECT LEAST(gs.tag, dg.src_tag) AS tag_a,
+        |             GREATEST(gs.tag, dg.src_tag) AS tag_b,
+        |             CAST(dg.dist AS DOUBLE) AS dist
+        |      FROM dg JOIN g gs ON dg.node = gs.node
+        |      WHERE gs.tag <> dg.src_tag),
+        |m AS (SELECT tag_a, tag_b, AVG(dist) AS dist FROM x GROUP BY 1, 2),
+        |sym AS (SELECT tag_a, tag_b, dist FROM m
+        |        UNION ALL SELECT tag_b AS tag_a, tag_a AS tag_b, dist FROM m),
+        |diag AS (SELECT DISTINCT tag AS tag_a, tag AS tag_b, 0.0 AS dist FROM g)
+        |SELECT tag_a, tag_b, dist FROM sym
+        |UNION ALL SELECT tag_a, tag_b, dist FROM diag""".stripMargin),
     "q_doc_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
