@@ -59,6 +59,28 @@ class CsrParitySpec extends SparkSuite {
     assert(plain.nonEmpty)
   }
 
+  test("CSR state runs identically on the RocksDB state store provider") {
+    val data = SynthTranscripts.turnRows(4, 7)
+    def run(name: String) = {
+      val ms = MemoryStream[Turn](
+        implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+      val q = CsrState.attach(
+          ms.toDS().withWatermark("ts", "1 minute"), "5 minutes")
+        .toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      ms.addData(data.sortBy(_.ts.getTime))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    val heap = run("csr_heap")
+    StateStores.useRocksDb(spark)
+    try {
+      val rocks = run("csr_rocks")
+      assert(rocks == heap && rocks.nonEmpty)
+    } finally StateStores.useDefault(spark)
+  }
+
   test("CsrState final summaries == ConvCsrAggregator batch results") {
     val data = SynthTranscripts.turnRows(6, 9)
     val maxTs = data.map(_.ts.getTime).max
