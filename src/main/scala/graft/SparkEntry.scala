@@ -203,6 +203,20 @@ object SparkEntry {
                                 directed = false)
     }),
 
+    // Weighted Dijkstra kernel under the driver oracle: label-correcting
+    // relaxation over the overlap graph with integer-valued weights
+    // (n_shared), vs a DuckDB recursive weighted walk — exact because
+    // integer-valued double sums are order-independent
+    "q_weighted_dist" -> ((s, dir) => {
+      val (_, nodes) = overlapGraph(s, dir)
+      Graph.weightedMultiSourceDist(
+          overlapGraphWeighted(s, dir),
+          nodes.where(col("node").startsWith("c0d"))
+            .select(lit("a").as("tag"), col("node")),
+          directed = false)
+        .select(col("node"), col("dist"))
+    }),
+
     // --- training-data pipeline: documents ---
     "q_doc_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_doc_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))
@@ -260,6 +274,26 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
              countDistinct("o_custkey").as("n_custs"))
+    }),
+    // TPC-H Q3-shaped: selective filters on all three tables (pushed to
+    // the parquet scans), broadcast dimension, fact-fact equi-join;
+    // integer-valued quantity sums keep the oracle exact
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = lit("1995-03-15").cast("timestamp_ntz")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_quantity")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+             sum("l_quantity").as("sum_qty"),
+             countDistinct("o_orderkey").as("n_orders"))
     })
   )
 
@@ -276,6 +310,17 @@ object SparkEntry {
         col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
       .select(col("a.conv_id").as("src"), col("b.conv_id").as("dst")).distinct()
     (pairs, t.select(col("conv_id").as("node")).distinct())
+  }
+
+  /** Overlap graph with edge weight = number of shared texts. */
+  private def overlapGraphWeighted(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+      .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
+      .select("conv_id", "text").distinct()
+    t.as("a").join(t.as("b"),
+        col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
+      .groupBy(col("a.conv_id").as("src"), col("b.conv_id").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
   }
 
   // ------------------------------------------------------------- oracles
@@ -397,6 +442,32 @@ object SparkEntry {
         |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
         |)
         |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""".stripMargin),
+    "q_weighted_dist" -> Transcripts.sqlRecursive(overlapCte +
+      """,
+        |ov2 AS (SELECT a.conv_id AS src, b.conv_id AS dst,
+        |               CAST(COUNT(*) AS DOUBLE) AS w
+        |        FROM ct a JOIN ct b ON a.text = b.text AND a.conv_id < b.conv_id
+        |        GROUP BY 1, 2),
+        |e2 AS (SELECT src, dst, w FROM ov2
+        |       UNION ALL SELECT dst AS src, src AS dst, w FROM ov2),
+        |walk AS (
+        |  SELECT conv_id AS node, CAST(0 AS DOUBLE) AS dist
+        |  FROM (SELECT DISTINCT conv_id FROM ct) WHERE conv_id LIKE 'c0d%'
+        |  UNION
+        |  SELECT e2.dst AS node, walk.dist + e2.w AS dist
+        |  FROM walk JOIN e2 ON walk.node = e2.src WHERE walk.dist < 1000
+        |)
+        |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""".stripMargin),
+    "q3_shipping" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |       SUM(l_quantity) AS sum_qty,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1""".stripMargin,
     "q_gfa_stats" -> tsql(
       """, e AS (
         |  SELECT date_diff('microsecond', ts, LEAD(ts) OVER w) AS gap_us
