@@ -512,6 +512,18 @@ object SparkEntry {
         |diag AS (SELECT DISTINCT tag AS tag_a, tag AS tag_b, 0.0 AS dist FROM g)
         |SELECT tag_a, tag_b, dist FROM sym
         |UNION ALL SELECT tag_a, tag_b, dist FROM diag""".stripMargin),
+    // frame sampling is integer byte arithmetic over the payload — the
+    // plumbing half of the multimodal stack is exactly checkable even
+    // though the decode kernel itself is a declared stub
+    "q_mm_frames" ->
+      """SELECT media_id, COUNT(*) AS n_frames,
+        |       CAST(SUM(LEAST(256, len - i*256)) AS BIGINT) AS bytes_kept
+        |FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS len,
+        |             GREATEST(CAST(CEIL(octet_length(encode(text)) / 256.0) AS INTEGER), 1) AS nf
+        |      FROM documents) d,
+        |     UNNEST(generate_series(0, CAST(d.nf AS BIGINT) - 1)) AS t(i)
+        |WHERE i % 2 = 0
+        |GROUP BY 1""".stripMargin,
     "q_doc_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
