@@ -20,14 +20,37 @@ object GfaExport {
         "write the sparse triplet form instead or raise the limit")
   }
 
+  /** Matrix dtype parameterization (cli.py:92-97; builders.py:280-281):
+    * scipy's coo_matrix(dtype=...) choices mapped to Spark casts. `bool`
+    * follows numpy truthiness (nonzero → true); integer dtypes truncate
+    * toward zero like numpy's astype. Documented divergence: values
+    * outside the integer dtype's range raise under ANSI mode rather than
+    * wrapping silently like numpy — the safer behavior for a data engine.
+    */
+  def castWeight(coo: DataFrame, dtype: String): DataFrame = {
+    val w = col("weight")
+    val cast = dtype match {
+      case "bool"    => (w =!= 0.0).as("weight")
+      case "int8"    => w.cast("tinyint").as("weight")
+      case "int32"   => w.cast("int").as("weight")
+      case "float32" => w.cast("float").as("weight")
+      case "float64" => w.cast("double").as("weight")
+      case other => throw new IllegalArgumentException(s"dtype: $other")
+    }
+    coo.select(col("row"), col("col"), cast)
+  }
+
   /** Sparse matrix as (row, col, weight) csv/parquet — the .npz analog. */
-  def saveMatrix(coo: DataFrame, path: String, format: String = "parquet"): Unit =
+  def saveMatrix(coo: DataFrame, path: String, format: String = "parquet",
+                 dtype: String = "float64"): Unit = {
+    val typed = castWeight(coo, dtype)
     format match {
-      case "parquet" => coo.orderBy("row", "col").write.mode("overwrite").parquet(path)
-      case "csv" => coo.orderBy("row", "col")
+      case "parquet" => typed.orderBy("row", "col").write.mode("overwrite").parquet(path)
+      case "csv" => typed.orderBy("row", "col")
         .write.mode("overwrite").option("header", "true").csv(path)
       case other => throw new IllegalArgumentException(s"format: $other")
     }
+  }
 
   /** Dense matrix (guarded): pivot to n columns — only sane for small n,
     * exactly like the reference's .npy/.csv densification.

@@ -37,6 +37,21 @@ class ExportSpec extends SparkSuite {
     assert(spark.read.json(s"$dir/links").count() == 1)
   }
 
+  test("matrix dtype parameterization matches numpy astype semantics (cli.py:92-97)") {
+    import spark.implicits._
+    val coo = Seq((0L, 1L, 2.7), (1L, 0L, 0.0), (2L, 2L, -1.2))
+      .toDF("row", "col", "weight")
+    val asBool = GfaExport.castWeight(coo, "bool").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(asBool(0L) && !asBool(1L) && asBool(2L))
+    val asInt = GfaExport.castWeight(coo, "int32").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(asInt(0L) == 2 && asInt(2L) == -1) // truncation toward zero
+    assert(GfaExport.castWeight(coo, "float32").schema("weight").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    intercept[IllegalArgumentException] { GfaExport.castWeight(coo, "int64") }
+  }
+
   test("GraphML + GEXF round-trip via XML re-read (test_export_formats.py)") {
     val dir = java.nio.file.Files.createTempDirectory("exp_xml").toString
     val wlines = gfaLines(
