@@ -303,9 +303,7 @@ object SparkEntry {
     * kernels. Returns (edges src/dst, node set).
     */
   private def overlapGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val t = T(s, dir)
-      .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
-      .select("conv_id", "text").distinct()
+    val t = restrictedConvText(s, dir)
     val pairs = t.as("a").join(t.as("b"),
         col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
       .select(col("a.conv_id").as("src"), col("b.conv_id").as("dst")).distinct()
@@ -314,14 +312,25 @@ object SparkEntry {
 
   /** Overlap graph with edge weight = number of shared texts. */
   private def overlapGraphWeighted(s: SparkSession, dir: String): DataFrame = {
-    val t = T(s, dir)
-      .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
-      .select("conv_id", "text").distinct()
+    val t = restrictedConvText(s, dir)
     t.as("a").join(t.as("b"),
         col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
       .groupBy(col("a.conv_id").as("src"), col("b.conv_id").as("dst"))
       .agg(count(lit(1)).cast("double").as("weight"))
   }
+
+  /** Shared, persisted base of the overlap-graph queries. Five iterative
+    * queries derive from this projection; persist() makes Spark's
+    * CacheManager substitute the one materialized relation into every
+    * identical sub-plan across those queries in a session (the tiny
+    * dimension-sized table is also a CollapseProject barrier for the
+    * self-joins above).
+    */
+  private def restrictedConvText(s: SparkSession, dir: String): DataFrame =
+    T(s, dir)
+      .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
+      .select("conv_id", "text").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   // ------------------------------------------------------------- oracles
 
