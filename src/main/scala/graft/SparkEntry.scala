@@ -225,6 +225,16 @@ object SparkEntry {
     "q_doc_lang" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), col("lang"),
               TextAnalysis.langPrediction(col("text")).as("pred_lang"))),
+    // token counting: whitespace + BPE-ish subword-boundary split
+    "q_doc_tokens" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
+    // winnowed rolling-hash fingerprints (xxhash64 → rows-only; planted
+    // shared-substring fixture in DedupSpec)
+    "q_doc_fingerprints" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.winnowedFingerprint(col("text"))).as("n_fp"))),
     "q_minhash_neardups" -> ((s, dir) => Dedup.minhashRanked(docs(s, dir))),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir), maxHamming = 16)),
@@ -551,6 +561,11 @@ object SparkEntry {
         |         CAST(len(regexp_extract_all(lower(text),
         |           '\b(the|a|an|and|of|to|in|is|it|that|for|on|with|as)\b')) AS INTEGER) AS n_stopwords
         |  FROM documents)""".stripMargin,
+    "q_doc_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER) AS bpe_tokens
+        |FROM documents""".stripMargin,
     "q_doc_lang" ->
       """SELECT doc_id, lang,
         |       CASE WHEN CAST(len(regexp_extract_all(lower(text),

@@ -20,6 +20,35 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+")).cast("int")
 
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * non-alphanumeric symbol runs each count as one token (the coarse
+    * GPT-2-style pre-tokenization split). ASCII classes only so the Java
+    * and RE2 (DuckDB) regex dialects agree.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).cast("int")
+
+  /** Winnowed rolling-hash document fingerprints: hash every character
+    * k-gram, then keep the MINIMUM hash of each sliding window of `w`
+    * consecutive k-grams (the winnowing scheme — guarantees any shared
+    * substring of length ≥ k+w−1 between two documents yields at least
+    * one shared fingerprint). Overlap-safe dedup/attribution member of
+    * the fingerprint family; xxhash64-based, so validated by planted
+    * fixtures rather than a SQL oracle.
+    */
+  def winnowedFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    // guard both sequences: Spark's sequence(a, b) DESCENDS when b < a
+    val grams = when(length(text) >= k,
+      transform(sequence(lit(0), length(text) - k),
+        i => xxhash64(substring(text, i + 1, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    when(size(grams) > 0,
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(grams) - w, lit(0))),
+        j => array_min(slice(grams, j + 1, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** ASCII-letter count. */
   def alphaCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]")).cast("int")

@@ -64,6 +64,34 @@ class DedupSpec extends SparkSuite {
     assert(nd.contains((0L, 100L)))
   }
 
+  test("winnowed fingerprints: shared substring ≥ k+w−1 ⇒ shared fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, s"PREFIX AAA $shared SUFFIX BBB"),
+      (2L, s"completely different opening text $shared and a different ending"),
+      (3L, "nothing in common with the others at all, zq xv jk wm pq rs tuv"),
+      (4L, "tiny")) // shorter than k → empty fingerprint set
+      .toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.winnowedFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "shared substring must collide")
+    assert((fp(1L) intersect fp(3L)).isEmpty, "disjoint docs must not collide")
+    assert(fp(4L).isEmpty)
+  }
+
+  test("bpeish token count splits letter/digit/symbol runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = Seq(Tuple1("don't stop123 me!!")).toDF("text")
+      .select(graft.text.TextAnalysis.bpeishTokenCount(col("text")))
+      .head().getInt(0)
+    // don | ' | t | stop | 123 | me | !!
+    assert(n == 7)
+  }
+
   test("quality + langid heuristics behave on obvious inputs") {
     val q = TextAnalysis.quality(docs).where(col("doc_id") === 0).head()
     assert(q.getAs[Boolean]("is_quality"))
