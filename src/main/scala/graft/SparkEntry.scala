@@ -232,9 +232,9 @@ object SparkEntry {
       TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
     // winnowed rolling-hash fingerprints (xxhash64 → rows-only; planted
     // shared-substring fixture in DedupSpec)
-    "q_doc_fingerprints" -> ((s, dir) => docs(s, dir).select(
-      col("doc_id"),
-      size(TextAnalysis.winnowedFingerprint(col("text"))).as("n_fp"))),
+    "q_doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowedFingerprints(docs(s, dir))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"))),
     "q_minhash_neardups" -> ((s, dir) => Dedup.minhashRanked(docs(s, dir))),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir), maxHamming = 16)),

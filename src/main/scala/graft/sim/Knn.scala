@@ -32,16 +32,30 @@ object Knn {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 simDecimals: Int = -1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", norm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
+    val sim = (vec_dot(col("q_vec"), col("nbr_vec")) /
+      (col("q_norm") * col("nbr_norm"))).as("sim")
+    val rankKey =
+      if (simDecimals >= 0) round(col("sim"), simDecimals) else col("sim")
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"),
-              (vec_dot(col("q_vec"), col("nbr_vec")) /
-                (col("q_norm") * col("nbr_norm"))).as("sim"))
-    scored.withColumn("rank", row_number().over(rankWindow(simDecimals)))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), sim)
+      .select(col("query_id"), col("nbr_id"), rankKey.as("key"), col("sim"))
+      .as[graft.ops.ScoredRow]
+    // map-side-combinable top-k (graft.ops.TopKByScore): each partition
+    // is pruned to k rows per query BEFORE the shuffle — a window over
+    // the raw pair set would shuffle O(|q|·|corpus|) rows instead.
+    // Identical results to row_number over (key desc, nbr_id asc).
+    scored.groupByKey(_.query_id)
+      .agg(new graft.ops.TopKByScore(k).toColumn.name("top"))
+      .select(col("key").as("query_id"),
+              posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.nbr_id").as("nbr_id"),
+              col("e.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Rank window for top-k: `simDecimals ≥ 0` ranks on the ROUNDED

@@ -32,21 +32,39 @@ object TextAnalysis {
     * k-gram, then keep the MINIMUM hash of each sliding window of `w`
     * consecutive k-grams (the winnowing scheme — guarantees any shared
     * substring of length ≥ k+w−1 between two documents yields at least
-    * one shared fingerprint). Overlap-safe dedup/attribution member of
-    * the fingerprint family; xxhash64-based, so validated by planted
-    * fixtures rather than a SQL oracle.
+    * one shared fingerprint). Output: one row per input doc with a
+    * sorted distinct fingerprint array (empty when text shorter than k).
+    *
+    * Shape note: the windowed minima are computed RELATIONALLY
+    * (posexplode → sliding rowsBetween window → collect_set), not with a
+    * nested higher-order function. A lambda that captures the computed
+    * gram array re-evaluates that whole subtree PER ELEMENT — measured
+    * O(L²·k) per document, 553 s for 2,000 docs at sf0.1 — whereas the
+    * Generate node consumes the array once per row. xxhash64-based, so
+    * validated by planted fixtures rather than a SQL oracle.
     */
-  def winnowedFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
-    // guard both sequences: Spark's sequence(a, b) DESCENDS when b < a
+  def winnowedFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = col(textCol)
+    // guard the sequence: Spark's sequence(a, b) DESCENDS when b < a
     val grams = when(length(text) >= k,
       transform(sequence(lit(0), length(text) - k),
         i => xxhash64(substring(text, i + 1, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
-    when(size(grams) > 0,
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(grams) - w, lit(0))),
-        j => array_min(slice(grams, j + 1, lit(w))))))
-      .otherwise(array().cast("array<bigint>"))
+    val byDoc = Window.partitionBy(idCol)
+    val sliding = byDoc.orderBy("pos").rowsBetween(0, w - 1)
+    val fp = docs
+      .select(col(idCol), posexplode(grams).as(Seq("pos", "h")))
+      .withColumn("wmin", min("h").over(sliding))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .where(col("pos") <= greatest(col("n") - w, lit(0)))
+      .groupBy(idCol)
+      .agg(array_sort(collect_set("wmin")).as("fp"))
+    docs.select(col(idCol)).join(fp, Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("fp"), array().cast("array<bigint>")).as("fp"))
   }
 
   /** ASCII-letter count. */

@@ -42,6 +42,27 @@ class KnnSpec extends SparkSuite {
     assert(math.abs(s - 1.0) < 1e-9)
   }
 
+  test("aggregator top-k == row_number window top-k (identical ranking)") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val c = vecs.select(col("vec_id").as("nbr_id"), col("embedding").as("nv"))
+      .withColumn("nn", Knn.norm(col("nv")))
+    val q = vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", Knn.norm(col("qv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (Knn.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+    val windowed = scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(round(col("sim"), 6).desc, col("nbr_id").asc)))
+      .where(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank")
+    val agg = Knn.bruteTopK(vecs, vecs, k, simDecimals = 6)
+      .select("query_id", "nbr_id", "rank")
+    assert(agg.exceptAll(windowed).isEmpty && windowed.exceptAll(agg).isEmpty)
+    assert(agg.count() == windowed.count() && agg.count() > 0)
+  }
+
   test("codegen HyperplaneSig is bit-exact vs the HOF formulation") {
     // the Column-DSL twin the codegen expression replaced — kept here as
     // the semantic oracle (same xxhash64 fold, same addition order)

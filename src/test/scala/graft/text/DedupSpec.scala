@@ -74,8 +74,7 @@ class DedupSpec extends SparkSuite {
       (3L, "nothing in common with the others at all, zq xv jk wm pq rs tuv"),
       (4L, "tiny")) // shorter than k → empty fingerprint set
       .toDF("doc_id", "text")
-    val fp = docs.select(col("doc_id"),
-      graft.text.TextAnalysis.winnowedFingerprint(col("text")).as("fp"))
+    val fp = graft.text.TextAnalysis.winnowedFingerprints(docs)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert((fp(1L) intersect fp(2L)).nonEmpty, "shared substring must collide")
     assert((fp(1L) intersect fp(3L)).isEmpty, "disjoint docs must not collide")
