@@ -7,7 +7,7 @@ import graft.gen.Transcripts
 import graft.gfa.GfaParse
 import graft.graph.Graph
 import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
-import graft.sim.Knn
+import graft.sim.{Ivf, Knn}
 import graft.text.{Dedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
@@ -257,6 +257,13 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Knn.lshTopK(e, e, 5, simDecimals = 6)
+        .select("query_id", "nbr_id", "rank")
+    }),
+    // IVF scale path: spherical-k-means inverted lists + nprobe search
+    // (deterministic training; recall vs brute pinned in KnnSpec)
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ivf.ivfTopK(e, e, 5, nClusters = 16, nprobe = 4, simDecimals = 6)
         .select("query_id", "nbr_id", "rank")
     }),
 

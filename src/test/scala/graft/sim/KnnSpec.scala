@@ -83,6 +83,26 @@ class KnnSpec extends SparkSuite {
     assert(both.where(col("fast") =!= col("slow")).isEmpty)
   }
 
+  test("IVF top-k recall vs brute force ≥ 0.8 on clustered data") {
+    val q = vecs.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val brute = pairs(Knn.bruteTopK(vecs, q, 5))
+    val ivf = pairs(Ivf.ivfTopK(vecs, q, 5, nClusters = 6, nprobe = 2))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
+  test("IVF inverted lists cover the corpus and centroids are trained") {
+    val cents = Ivf.trainCentroids(vecs, nClusters = 6, iters = 2)
+    val n = cents.count()
+    assert(n >= 3 && n <= 6) // clusters may die, never multiply
+    val lists = Ivf.assign(
+      vecs.select(col("vec_id").as("id"), col("embedding").as("v")), cents)
+    assert(lists.count() == 90)                       // every vector assigned
+    assert(lists.select("id").distinct().count() == 90) // exactly once
+  }
+
   test("LSH top-k recall vs brute force ≥ 0.8 on clustered data") {
     val q = vecs.where(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
