@@ -260,10 +260,13 @@ object SparkEntry {
         .select("query_id", "nbr_id", "rank")
     }),
     // IVF scale path: spherical-k-means inverted lists + nprobe search
-    // (deterministic training; recall vs brute pinned in KnnSpec)
+    // (deterministic training; recall vs brute pinned in KnnSpec).
+    // Timed cost INCLUDES index training — a real deployment trains once
+    // and amortizes it across every query batch.
     "q_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Ivf.ivfTopK(e, e, 5, nClusters = 16, nprobe = 4, simDecimals = 6)
+      Ivf.ivfTopK(e, e, 5, nClusters = 16, nprobe = 4, iters = 2,
+                  simDecimals = 6)
         .select("query_id", "nbr_id", "rank")
     }),
 
