@@ -10,6 +10,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Eager lineage barrier for the iterative driver loops that ALSO
+    * resets plan statistics: localCheckpoint preserves the checkpointed
+    * plan's size estimate, and a kernel that self-joins its state every
+    * round squares that estimate per round — double-exponential growth
+    * that overflows BigInteger in the size-only stats visitor after ~30
+    * rounds (first hit by a 60-round weighted relaxation). freshLeaf
+    * rebuilds a default-stats leaf over the materialized RDD.
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
+
   /** Undirected view: each edge plus its reverse in one pass (explode —
     * a self-union would recompute the upstream twice), dedup'd.
     */
@@ -65,7 +76,7 @@ object Graph {
     // the receiver) — always rebind, or lineage grows per round and the
     // discarded checkpoint blocks leak.
     var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .transform(ckpt)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -85,7 +96,7 @@ object Graph {
         .select(col("a.node").as("node"),
                 least(col("a.label"), coalesce(col("l_label"), col("a.label")))
                   .as("label"))
-      val next = jumped.localCheckpoint(true)
+      val next = jumped.transform(ckpt)
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.label") =!= col("o.label")).count()
@@ -129,7 +140,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     var dist = seeds.select(col("tag"), col("node"), lit(0L).as("dist"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(ckpt)
     def hitStop(frontierDf: DataFrame): Boolean = stopSet.exists(s =>
       !frontierDf.join(s.select(col("node")), Seq("node"), "left_semi")
         .limit(1).isEmpty)
@@ -146,10 +157,10 @@ object Graph {
         .join(dist.select(col("tag").as("t2"), col("node").as("n2")),
               col("tag") === col("t2") && col("node") === col("n2"), "left_anti")
         .groupBy("tag", "node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       frontierSize = newFrontier.count()
       if (frontierSize > 0)
-        dist = dist.union(newFrontier).localCheckpoint(true)
+        dist = dist.union(newFrontier).transform(ckpt)
       frontier = newFrontier
       done = hitStop(frontier)
       iter += 1
@@ -184,7 +195,8 @@ object Graph {
       val d =
         if (weighted)
           weightedMultiSourceDist(
-            edges, setA.select(lit("a").as("tag"), col("node")), directed)
+            edges, setA.select(lit("a").as("tag"), col("node")), directed,
+            stopSet = Some(setB))
         else
           multiSourceBfsUntil(edges, setA.select(lit("a").as("tag"), col("node")),
                               stopSet = Some(setB), directed)
@@ -208,10 +220,19 @@ object Graph {
     * reference gets from weight="weight"; absent weight = 1.0). Iterative
     * label-correcting relaxation on DataFrames: each round extends every
     * improved frontier by one edge; converges once no (tag, node) improves.
+    *
+    * `stopSet` enables Dijkstra-style early termination for min-distance
+    * queries: with non-negative weights, once the best distance reached
+    * into the stop set is ≤ the minimum distance on the improving
+    * frontier, no future relaxation can beat it (any extension costs at
+    * least the frontier minimum) — so the loop ends with the stop-set
+    * distances already exact. Large-diameter graphs then run O(answer
+    * depth) rounds instead of O(eccentricity).
     */
   def weightedMultiSourceDist(edges: DataFrame, seeds: DataFrame,
                               directed: Boolean = false,
-                              maxIter: Int = 512): DataFrame = {
+                              maxIter: Int = 512,
+                              stopSet: Option[DataFrame] = None): DataFrame = {
     val w = coalesce(col("weight").cast("double"), lit(1.0)).as("w")
     val adjBase = edges.select(col("src"), col("dst"), w)
     val adj = (if (directed) adjBase
@@ -220,11 +241,26 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     var dist = seeds.select(col("tag"), col("node"), lit(0.0).as("dist"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(ckpt)
     var frontier = dist
     var iter = 0
     var frontierSize = frontier.count()
-    while (frontierSize > 0 && iter < maxIter) {
+    // per-tag termination rule: a tag is settled once its best stop-set
+    // distance is ≤ its frontier minimum (non-negative weights: every
+    // extension costs at least the frontier minimum); done when no tag
+    // still has frontier work that could beat its stop-set best. With
+    // stopSet, ONLY stop-set rows are guaranteed final in the result.
+    def settled(): Boolean = stopSet.exists { ss =>
+      val stopMin = dist
+        .join(ss.select(col("node")), Seq("node"), "left_semi")
+        .groupBy("tag").agg(min("dist").as("sm"))
+      frontier.groupBy("tag").agg(min("dist").as("fm"))
+        .join(stopMin, Seq("tag"), "left")
+        .where(col("sm").isNull || col("fm") < col("sm"))
+        .limit(1).isEmpty
+    }
+    var done = frontierSize > 0 && settled()
+    while (!done && frontierSize > 0 && iter < maxIter) {
       val candidates = frontier.join(adj, frontier("node") === adj("src"))
         .select(col("tag"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("tag", "node").agg(min("dist").as("dist"))
@@ -232,7 +268,7 @@ object Graph {
         .join(dist.as("d"), Seq("tag", "node"), "left")
         .where(col("d.dist").isNull || col("c.dist") < col("d.dist"))
         .select(col("tag"), col("node"), col("c.dist").as("dist"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       frontierSize = improved.count()
       if (frontierSize > 0)
         // full-outer merge instead of union+groupBy: Union over two
@@ -243,12 +279,13 @@ object Graph {
           .select(col("tag"), col("node"),
                   least(coalesce(col("i.dist"), col("d.dist")),
                         coalesce(col("d.dist"), col("i.dist"))).as("dist"))
-          .localCheckpoint(true)
+          .transform(ckpt)
       frontier = improved
       iter += 1
+      done = frontierSize > 0 && settled()
     }
     adj.unpersist(blocking = false)
-    if (frontierSize > 0)
+    if (!done && frontierSize > 0)
       throw new IllegalStateException(
         s"weightedMultiSourceDist still improving after $maxIter rounds " +
         s"($frontierSize labels); raise maxIter")

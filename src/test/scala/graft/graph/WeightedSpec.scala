@@ -28,6 +28,25 @@ class WeightedSpec extends SparkSuite {
     assert(d("c") == 1.5)
   }
 
+  test("weighted min with stopSet: exact on a long chain + cheap detour") {
+    // 60-edge chain s0→s59 (weight 1 each) with an expensive shortcut
+    // s0→s10 (weight 100): target {s10} must come back 10.0 (via the
+    // chain), not 100.0 — early termination may not settle on the first
+    // arrival, only once no frontier work can beat it
+    val chain = (0 until 59).map(i => (s"s$i", s"s${i + 1}", 1.0))
+    val edges = (chain :+ ("s0", "s10", 100.0)).toDF("src", "dst", "weight")
+    val d = Graph.setDistance(edges,
+      Seq("s0").toDF("node"), Seq("s10").toDF("node"),
+      method = "min", directed = true, weighted = true)
+      .head().getDouble(0)
+    assert(d == 10.0)
+    // full-graph variant (no stopSet) still converges to the same value
+    val full = Graph.weightedMultiSourceDist(edges,
+        Seq(("a", "s0")).toDF("tag", "node"), directed = true)
+      .where(col("node") === "s10").head().getDouble(2)
+    assert(full == 10.0)
+  }
+
   test("mean set-distance averages over pairs (analysis.py:148-158)") {
     // chain a-b-c; A={a,c}, B={b}: pairs (a,b)=1,(c,b)=1 → mean 1.0
     // vs A={a,b}, B={c}: (a,c)=2,(b,c)=1 → mean 1.5 (pair semantics!)

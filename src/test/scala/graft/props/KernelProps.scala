@@ -17,6 +17,29 @@ object KernelProps extends Properties("graft.kernels") {
   private val seenGen: Gen[Array[Int]] =
     Gen.listOf(Gen.choose(0, 200)).map(_.distinct.sorted.toArray)
 
+  private val scoredGen: Gen[List[graft.ops.ScoredRow]] =
+    Gen.listOf(for {
+      nbr <- Gen.choose(0L, 40L)
+      key <- Gen.choose(0, 8).map(_ / 4.0) // coarse keys force ties
+    } yield graft.ops.ScoredRow(1L, nbr, key, key))
+      // unique (key, nbr) pairs: the ordering contract is total on them
+      .map(_.groupBy(r => (r.key, r.nbr_id)).values.map(_.head).toList)
+
+  property("TopKByScore == sort.take(k), reduce and merge paths") =
+    forAll(scoredGen) { rows =>
+      val agg = new graft.ops.TopKByScore(5)
+      def proj(e: graft.ops.TopEntry) = (e.key, e.nbr_id)
+      val expect = rows
+        .map(r => (r.key, r.nbr_id))
+        .sortBy { case (k, n) => (-k, n) }.take(5)
+      val viaReduce = rows.foldLeft(agg.zero)(agg.reduce).map(proj)
+      val (l, r) = rows.splitAt(rows.length / 2)
+      val viaMerge = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)).map(proj)
+      viaReduce == expect && viaMerge == expect
+    }
+
   property("csrOf: indptr is monotone and ends at nnz") = forAll(seenGen) { seen =>
     val (indptr, indices) = CsrState.csrOf(seen)
     indptr.length == seen.length + 1 &&
