@@ -468,7 +468,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT conv_id FROM ct) WHERE conv_id LIKE 'c0d%'
         |  UNION
         |  SELECT e.dst AS node, walk.dist + 1 AS dist
-        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
+        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 512
         |)
         |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""".stripMargin),
     "q_weighted_dist" -> Transcripts.sqlRecursive(overlapCte +
@@ -514,7 +514,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT conv_id FROM ct)
         |  UNION
         |  SELECT walk.src, e.dst, walk.dist + 1
-        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
+        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 512
         |)
         |SELECT src AS tag_a, node AS tag_b, MIN(dist) AS dist
         |FROM walk GROUP BY 1, 2""".stripMargin),
@@ -527,7 +527,7 @@ object SparkEntry {
         |  SELECT tag AS src_tag, node, CAST(0 AS BIGINT) AS dist FROM g
         |  UNION
         |  SELECT walk.src_tag, e.dst, walk.dist + 1
-        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 64
+        |  FROM walk JOIN e ON walk.node = e.src WHERE walk.dist < 512
         |),
         |dg AS (SELECT src_tag, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
         |x AS (SELECT LEAST(gs.tag, dg.src_tag) AS tag_a,

@@ -104,9 +104,20 @@ object GfaAnalysis {
     val membership = GfaGraph.orientedNodes(
       GfaParse.pathMembers(lines)
         .select(col("name").as("tag"), col("seg").as("node")), opts)
+    // file order of the P/O records = the reference's `names` order
+    // (load_paths insertion order) — drives the directed-min mirroring
+    // parity (M[j][i] := M[i][j] from the earlier path's cache,
+    // analysis.py:265-266); available whenever lines came from readLines
+    val tagOrder =
+      if (lines.columns.contains("lineno"))
+        Some(GfaParse.records(lines).where(col("rtype").isin("P", "O"))
+          .select(get(col("fields"), lit(1)).as("tag"), col("lineno"))
+          .groupBy("tag").agg(min("lineno").as("ord")))
+      else None
     Graph.groupDistanceMatrix(GfaGraph.edges(lines, opts), membership, method,
                               directed = opts.graphDirected,
                               weighted = opts.weightTag.isDefined,
-                              emitInf = emitInf)
+                              emitInf = emitInf,
+                              tagOrder = tagOrder)
   }
 }

@@ -105,13 +105,23 @@ object GfaExport {
     */
   private def collectGraph(lines: DataFrame, opts: GfaOptions, maxNodes: Long)
       : (Seq[String], Seq[(String, String, Option[Double])]) = {
-    val nodes = GfaGraph.nodes(lines, opts).orderBy("node")
-      .collect().map(_.getString(0)).toSeq
-    if (nodes.length > maxNodes)
+    // guard BEFORE collecting — the whole point is protecting the driver
+    // heap, so counts run distributed first; edges bounded too (a capped
+    // node set can still carry an unbounded multigraph edge set)
+    val nodeDf = GfaGraph.nodes(lines, opts)
+    val nNodes = nodeDf.count()
+    if (nNodes > maxNodes)
       throw new IllegalStateException(
-        s"XML export of ${nodes.length} nodes exceeds maxNodes=$maxNodes; " +
+        s"XML export of $nNodes nodes exceeds maxNodes=$maxNodes; " +
         "use parquet/JSON exports for large graphs")
-    val edges = GfaGraph.edges(lines, opts).orderBy("src", "dst")
+    val edgeDf = GfaGraph.edges(lines, opts)
+    val nEdges = edgeDf.count()
+    if (nEdges > 10L * maxNodes)
+      throw new IllegalStateException(
+        s"XML export of $nEdges edges exceeds ${10L * maxNodes}; " +
+        "use parquet/JSON exports for large graphs")
+    val nodes = nodeDf.orderBy("node").collect().map(_.getString(0)).toSeq
+    val edges = edgeDf.orderBy("src", "dst")
       .collect()
       .map(r => (r.getString(0), r.getString(1),
                  if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq

@@ -310,7 +310,8 @@ object Graph {
                           method: String = "min",
                           directed: Boolean = false,
                           weighted: Boolean = false,
-                          emitInf: Boolean = false): DataFrame = {
+                          emitInf: Boolean = false,
+                          tagOrder: Option[DataFrame] = None): DataFrame = {
     val distAll =
       if (weighted)
         weightedMultiSourceDist(edges, membership.select("tag", "node"),
@@ -318,6 +319,30 @@ object Graph {
       else
         multiSourceBfs(edges, membership.select("tag", "node"), directed)
     val core = method match {
+      // reference parity on DIRECTED graphs: the reference walks only the
+      // upper triangle in path order and mirrors each cell
+      // (analysis.py:265-266 — M[j][i] := M[i][j], computed from the
+      // EARLIER path's cached lengths), so on a directed graph the lower
+      // triangle is NOT the genuine reverse-direction distance. With
+      // `tagOrder` ((tag, ord) — lower ord = earlier in file) this
+      // reproduces that mirroring exactly; undirected graphs give the
+      // same answer either way.
+      case "min" if tagOrder.isDefined =>
+        val ordA = tagOrder.get.select(col("tag"), col("ord").as("ord_a"))
+        val ordB = tagOrder.get
+          .select(col("tag").as("tag_b"), col("ord").as("ord_b"))
+        val upper = distAll
+          .join(membership.select(col("tag").as("tag_b"), col("node")).distinct(),
+                Seq("node"))
+          .join(broadcast(ordA), Seq("tag"))
+          .join(broadcast(ordB), Seq("tag_b"))
+          .where(col("ord_a") <= col("ord_b"))
+          .groupBy(col("tag").as("tag_a"), col("tag_b"))
+          .agg(min("dist").as("dist"))
+        upper.unionByName(
+          upper.where(col("tag_a") =!= col("tag_b"))
+            .select(col("tag_b").as("tag_a"), col("tag_a").as("tag_b"),
+                    col("dist")))
       case "min" =>
         distAll
           .join(membership.select(col("tag").as("tag_b"), col("node")).distinct(),

@@ -27,7 +27,12 @@ class TopKByScore(k: Int) extends Aggregator[ScoredRow, Seq[TopEntry], Seq[TopEn
     a.key > b.key || (a.key == b.key && a.nbr_id < b.nbr_id)
 
   private def insert(buf: Seq[TopEntry], e: TopEntry): Seq[TopEntry] = {
-    if (buf.length >= k && !better(e, buf.last)) buf
+    // NaN keys (e.g. cosine of a zero-norm vector) never rank: `better`
+    // is false in both directions for NaN, which would make placement
+    // arrival-order-dependent — drop them for a deterministic, total
+    // ordering contract
+    if (e.key.isNaN) buf
+    else if (buf.length >= k && !better(e, buf.last)) buf
     else {
       val (pre, post) = buf.span(better(_, e))
       ((pre :+ e) ++ post).take(k)

@@ -59,6 +59,9 @@ object TurnGraph {
     * every row through ONE task. The result is deterministic even though
     * range boundaries are sampled — the global sorted order is fixed, and
     * zipWithIndex's count and map jobs share one shuffle materialization.
+    * NOTE: zipWithIndex computes its offsets in its constructor, so
+    * building this DataFrame runs the count job EAGERLY — inherent to a
+    * distributed dense rank (two passes); relevant to plan-only tooling.
     */
   def nodeIndex(turns: DataFrame): DataFrame = {
     val spark = turns.sparkSession

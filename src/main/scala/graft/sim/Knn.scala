@@ -86,7 +86,8 @@ object Knn {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               bits: Int = 32, bandBits: Int = 8,
-              simDecimals: Int = -1): DataFrame = {
+              simDecimals: Int = -1,
+              maxBucket: Int = graft.text.Dedup.DefaultMaxBucket): DataFrame = {
     require(bits % bandBits == 0)
     val nChunks = bits / bandBits
     val mask = (1L << bandBits) - 1
@@ -96,23 +97,30 @@ object Knn {
           posexplode(array((0 until nChunks).map { c =>
             shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
           }: _*)).as(Seq("chunk", "chunk_val")))
-    // candidate id pairs ride the banding join WITHOUT vector payloads —
-    // the nChunks-fold explode would otherwise push every vector through
-    // the shuffle nChunks times; vectors are fetched once at rerank
-    val cands = chunkedIds(corpus, "nbr_id")
-      .join(broadcast(chunkedIds(queries, "query_id")), Seq("chunk", "chunk_val"))
+    // corpus-side bucket cap (same guard as the Dedup LSH paths): one
+    // boilerplate cluster of near-identical vectors would otherwise make
+    // a single bucket O(|queries|·cluster) candidate pairs. The window
+    // count rides the banding shuffle. Candidate id pairs ride the join
+    // WITHOUT vector payloads — the nChunks-fold explode would otherwise
+    // push every vector through the shuffle nChunks times; vectors are
+    // fetched once at rerank. No broadcast hints: AQE broadcasts the
+    // small side at runtime, and at corpus-as-queries scale neither side
+    // is driver-sized.
+    val cappedCorpus = chunkedIds(corpus, "nbr_id")
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("chunk", "chunk_val")))
+      .where(col("bsz") <= maxBucket).drop("bsz")
+    val cands = cappedCorpus
+      .join(chunkedIds(queries, "query_id"), Seq("chunk", "chunk_val"))
       .where(col("query_id") =!= col("nbr_id"))
       .select("query_id", "nbr_id").distinct()
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", norm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
-    // cands is small by construction (|queries| × bucket-capped matches):
-    // broadcasting it keeps the corpus unshuffled — the rerank is then a
-    // single map-side pass over the corpus scan
     val scored = c
-      .join(broadcast(cands), Seq("nbr_id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(cands, Seq("nbr_id"))
+      .join(q, Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
               (vec_dot(col("q_vec"), col("nbr_vec")) /
                 (col("q_norm") * col("nbr_norm"))).as("sim"))

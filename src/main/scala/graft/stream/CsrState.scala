@@ -143,9 +143,16 @@ object CsrState {
     * object map, so THIS operator declares the watermark on `max_ts`
     * with `watermarkDelay` — pass an UN-watermarked stream (Spark
     * disallows redefining a watermark in one chain). Per-partition max
-    * preserves the global batch max, so the watermark value (and thus
+    * preserves the global batch max, so the watermark VALUE (and thus
     * timeout behavior) is identical to [[attach]] over the same input.
-    * Output is row-identical to attach (CsrParitySpec).
+    *
+    * Late-drop granularity differs by design: attach drops each late
+    * turn individually (row-level ts), while here lateness is judged per
+    * PARTIAL (its max_ts) — a late turn riding a partial that also holds
+    * a fresh turn is admitted. Output is row-identical to attach for
+    * input whose lateness never straddles a partial (CsrParitySpec
+    * covers the in-order case); pick attach when exact row-level late
+    * semantics matter more than hot-key throughput.
     */
   def attachSalted(turns: Dataset[Turn], idleTimeout: String = "1 hour",
                    watermarkDelay: String = "10 minutes")

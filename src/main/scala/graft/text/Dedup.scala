@@ -214,21 +214,32 @@ object Dedup {
     * per row); vectors and norms are fetched once per side at rerank.
     * Buckets above `maxBucket` are dropped ([[capBuckets]]).
     */
+  /** Signature chunks of an embedding table — the shared banding input of
+    * [[embeddingNearDups]] and [[embeddingOversizeBuckets]] (one
+    * definition so the dropped-bucket side output always corresponds to
+    * the buckets the candidate join actually sees).
+    */
+  private def embChunks(emb: DataFrame, idCol: String, vecCol: String,
+                        bits: Int, bandBits: Int): DataFrame = {
+    require(bits % bandBits == 0)
+    val nChunks = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    emb
+      .select(col(idCol).as("id"),
+              graft.sim.Knn.lshSignature(col(vecCol), bits).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until nChunks).map { c =>
+          shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
+        }: _*)).as(Seq("chunk", "chunk_val")))
+  }
+
   def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         threshold: Double = 0.95,
                         bits: Int = 32, bandBits: Int = 8,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.sim.Knn
-    require(bits % bandBits == 0)
-    val nChunks = bits / bandBits
-    val mask = (1L << bandBits) - 1
-    val chunked = emb
-      .select(col(idCol).as("id"), Knn.lshSignature(col(vecCol), bits).as("sig"))
-      .select(col("id"),
-        posexplode(array((0 until nChunks).map { c =>
-          shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
-        }: _*)).as(Seq("chunk", "chunk_val")))
+    val chunked = embChunks(emb, idCol, vecCol, bits, bandBits)
     val capped = capBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
     val cands = capped.as("a")
       .join(capped.as("b"),
@@ -256,18 +267,9 @@ object Dedup {
   def embeddingOversizeBuckets(emb: DataFrame, idCol: String = "vec_id",
                                vecCol: String = "embedding",
                                bits: Int = 32, bandBits: Int = 8,
-                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    import graft.sim.Knn
-    val nChunks = bits / bandBits
-    val mask = (1L << bandBits) - 1
-    val chunked = emb
-      .select(col(idCol).as("id"), Knn.lshSignature(col(vecCol), bits).as("sig"))
-      .select(col("id"),
-        posexplode(array((0 until nChunks).map { c =>
-          shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
-        }: _*)).as(Seq("chunk", "chunk_val")))
-    oversize(chunked, Seq("chunk", "chunk_val"), maxBucket)
-  }
+                               maxBucket: Int = DefaultMaxBucket): DataFrame =
+    oversize(embChunks(emb, idCol, vecCol, bits, bandBits),
+             Seq("chunk", "chunk_val"), maxBucket)
 
   /** 64-bit SimHash signature per doc: bit j is the sign of
     * Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). Static per-bit aggregate

@@ -98,6 +98,24 @@ class GfaAnalysisSpec extends SparkSuite {
     assert(mMean(("p3", "p3")) == 0.0)
   }
 
+  test("directed min matrix mirrors the EARLIER path's direction (reference runs)") {
+    // the reference walks only the upper triangle in file order and
+    // mirrors each cell (analysis.py:265-266): with the one directed
+    // edge a1→a2, declaring pa first gives 1.0 in BOTH cells, declaring
+    // pb first gives inf in both — order-dependent by reference design
+    def m(lines: org.apache.spark.sql.DataFrame) =
+      GfaAnalysis.genomeDistanceMatrix(lines, "min",
+          GfaOptions(directed = true), emitInf = true)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val paFirst = m(gfaLines("S\ta1\t*", "S\ta2\t*", "L\ta1\t+\ta2\t+\t0M",
+                             "P\tpa\ta1+\t*", "P\tpb\ta2+\t*"))
+    assert(paFirst(("pa", "pb")) == 1.0 && paFirst(("pb", "pa")) == 1.0)
+    val pbFirst = m(gfaLines("S\ta1\t*", "S\ta2\t*", "L\ta1\t+\ta2\t+\t0M",
+                             "P\tpb\ta2+\t*", "P\tpa\ta1+\t*"))
+    assert(pbFirst(("pa", "pb")).isPosInfinity &&
+           pbFirst(("pb", "pa")).isPosInfinity)
+  }
+
   test("distance matrix emitInf fills unreachable pairs with +inf (reference run)") {
     val lines = gfaLines(
       "S\ta1\t*", "S\ta2\t*", "S\tb1\t*",
