@@ -38,19 +38,27 @@ object Bench {
     // A hash over EVERY output column forces the whole row to be computed;
     // the double-sum aggregate avoids ANSI long-overflow on the fold.
     import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+    // a failed query must be VISIBLE, not a fast fake success: its seconds
+    // are negated (sentinel) and its exception class lands in "errors" —
+    // otherwise a regression that throws would *improve* the bench total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val err = try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
           .agg(sum(col("h").cast("double"))).collect()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+        None
+      } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isDefined) -sec else sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    val nFailed = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -122,10 +122,9 @@ object SparkEntry {
     }),
     // Q4 analog: conversation-pair similarity by shared turn text (paths
     // sharing segments → distance 0 pairs), bounded to two users' convs
+    // and df-capped like every overlap-graph query ([[OverlapDfCap]])
     "q_conv_overlap" -> ((s, dir) => {
-      val t = T(s, dir)
-        .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
-        .select("conv_id", "text").distinct()
+      val t = restrictedConvText(s, dir)
       t.as("a").join(t.as("b"),
           col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
         .groupBy(col("a.conv_id").as("conv_a"), col("b.conv_id").as("conv_b"))
@@ -164,8 +163,15 @@ object SparkEntry {
     // the hash match.
     "q_gfa_stats" -> ((s, dir) => {
       val t = T(s, dir)
+      // a tab/newline inside text would shift the rendered S-record fields
+      // and silently truncate the re-parsed sequence — surface it as an
+      // error instead of an unexplained oracle hash mismatch
+      val safeText = when(col("text").rlike("[\\t\\n\\r]"),
+          raise_error(concat(lit("q_gfa_stats: text contains tab/newline in "),
+                             col("conv_id"))).cast("string"))
+        .otherwise(col("text"))
       val segLines = t.select(concat_ws("\t", lit("S"),
-          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
+          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), safeText)
         .as("value"))
       val linkLines = TurnGraph.edges(t).select(concat_ws("\t", lit("L"),
           TurnGraph.nodeId(col("conv_id"), col("src_idx")), lit("+"),
@@ -317,6 +323,15 @@ object SparkEntry {
     })
   )
 
+  /** Document-frequency cap applied to the overlap-graph text self-join
+    * (and mirrored in every derived oracle): texts shared by more than
+    * this many conversations are dropped from edge building — the one
+    * uncapped m² the engine had left ([[graft.ops.Overlap]]). 64 ≫ the
+    * actual max df at test scale (3), so results are unchanged; at 100×
+    * one boilerplate error string can't quadratically blow up the join.
+    */
+  private val OverlapDfCap = graft.ops.Overlap.DefaultMaxDf
+
   /** Shared non-chain test graph: conversations (restricted to two users'
     * prefixes to bound the self-join) connected when they share a turn
     * text — the q_conv_overlap edge set, symmetrization left to the
@@ -324,42 +339,46 @@ object SparkEntry {
     */
   private def overlapGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val t = restrictedConvText(s, dir)
-    val pairs = t.as("a").join(t.as("b"),
-        col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
-      .select(col("a.conv_id").as("src"), col("b.conv_id").as("dst")).distinct()
-    (pairs, t.select(col("conv_id").as("node")).distinct())
+    (graft.ops.Overlap.edges(t), t.select(col("conv_id").as("node")).distinct())
   }
 
   /** Overlap graph with edge weight = number of shared texts. */
-  private def overlapGraphWeighted(s: SparkSession, dir: String): DataFrame = {
-    val t = restrictedConvText(s, dir)
-    t.as("a").join(t.as("b"),
-        col("a.text") === col("b.text") && col("a.conv_id") < col("b.conv_id"))
-      .groupBy(col("a.conv_id").as("src"), col("b.conv_id").as("dst"))
-      .agg(count(lit(1)).cast("double").as("weight"))
-  }
+  private def overlapGraphWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Overlap.weightedEdges(restrictedConvText(s, dir))
 
-  /** Shared, persisted base of the overlap-graph queries. Five iterative
-    * queries derive from this projection; persist() makes Spark's
-    * CacheManager substitute the one materialized relation into every
-    * identical sub-plan across those queries in a session (the tiny
-    * dimension-sized table is also a CollapseProject barrier for the
-    * self-joins above).
+  /** Shared, persisted base of the overlap-graph queries, df-capped
+    * ([[OverlapDfCap]]). Six queries derive from this projection;
+    * persist() makes Spark's CacheManager substitute the one materialized
+    * relation into every identical sub-plan across those queries in a
+    * session (the tiny dimension-sized table is also a CollapseProject
+    * barrier for the self-joins above). Memoized per (session, dir) so
+    * repeated calls don't re-persist an identical plan (a handle leak and
+    * an "already cached" warning in long-lived sessions).
     */
+  private val convTextCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   private def restrictedConvText(s: SparkSession, dir: String): DataFrame =
-    T(s, dir)
-      .where(col("conv_id").startsWith("c0d") || col("conv_id").startsWith("c1d"))
-      .select("conv_id", "text").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    convTextCache.computeIfAbsent((s, dir), { _ =>
+      graft.ops.Overlap.convText(
+          T(s, dir).where(col("conv_id").startsWith("c0d") ||
+                          col("conv_id").startsWith("c1d")),
+          OverlapDfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   // ------------------------------------------------------------- oracles
 
   private def tsql(body: String): String = Transcripts.sql(body)
 
-  /** Overlap-graph CTE chain shared by the recursive-kernel oracles. */
+  /** Overlap-graph CTE chain shared by the recursive-kernel oracles —
+    * includes the df cap in lockstep with [[restrictedConvText]].
+    */
   private val overlapCte =
-    """, ct AS (SELECT DISTINCT conv_id, text FROM turns
-      |         WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'),
+    s""", ct0 AS (SELECT DISTINCT conv_id, text FROM turns
+      |          WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'),
+      |ct AS (SELECT conv_id, text FROM ct0
+      |       QUALIFY COUNT(*) OVER (PARTITION BY text) <= $OverlapDfCap),
       |ov AS (SELECT DISTINCT a.conv_id AS src, b.conv_id AS dst
       |       FROM ct a JOIN ct b ON a.text = b.text AND a.conv_id < b.conv_id),
       |e AS (SELECT src, dst FROM ov UNION SELECT dst AS src, src AS dst FROM ov)""".stripMargin
@@ -416,8 +435,10 @@ object SparkEntry {
         |FROM turns a JOIN turns b ON a.conv_id = b.conv_id
         |WHERE a.text LIKE 'click#%' AND b.text LIKE 'error#%'""".stripMargin),
     "q_conv_overlap" -> tsql(
-      """, ct AS (SELECT DISTINCT conv_id, text FROM turns
-        |          WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%')
+      s""", ct0 AS (SELECT DISTINCT conv_id, text FROM turns
+        |           WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'),
+        |ct AS (SELECT conv_id, text FROM ct0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY text) <= $OverlapDfCap)
         |SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, COUNT(*) AS n_shared
         |FROM ct a JOIN ct b ON a.text = b.text AND a.conv_id < b.conv_id
         |GROUP BY 1, 2""".stripMargin),
@@ -594,7 +615,11 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // brute cosine top-k IS SQL-expressible: double-cast list_dot_product
     // matches FloatVecDot's float→double accumulation, and ranking on
-    // round(sim, 6) + id tie-break removes cross-engine FP order effects
+    // round(sim, 6) + id tie-break removes cross-engine FP order effects.
+    // NaN note: the engine DROPS NaN sims (zero-norm vectors) uniformly
+    // across brute/LSH/IVF, while this SQL would sort NaN first — the
+    // embeddings table is unit-normalized, so no NaN can occur here; a
+    // corpus with zero-norm vectors must be filtered before kNN.
     "q_knn_brute" ->
       """SELECT query_id, nbr_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,

@@ -124,7 +124,12 @@ object Knn {
       .select(col("query_id"), col("nbr_id"),
               (vec_dot(col("q_vec"), col("nbr_vec")) /
                 (col("q_norm") * col("nbr_norm"))).as("sim"))
-    scored.withColumn("rank", row_number().over(rankWindow(simDecimals)))
+    // NaN sims (zero-norm vectors) are dropped BEFORE ranking so this path
+    // agrees with TopKByScore (brute/IVF), which skips NaN keys — a NaN
+    // would otherwise sort FIRST under desc in the window (and in a SQL
+    // oracle), making the three cross-validated paths disagree.
+    scored.where(!isnan(col("sim")))
+      .withColumn("rank", row_number().over(rankWindow(simDecimals)))
       .where(col("rank") <= k)
   }
 }

@@ -82,6 +82,25 @@ class GuardsSpec extends SparkSuite {
     assert(ex.length == 1)
   }
 
+  test("overlap df cap: planted 1k-conv shared text is dropped and counted") {
+    // 1,000 conversations all sharing one boilerplate turn text (would be
+    // ~5·10⁵ join pairs uncapped), plus two conversations sharing a rare
+    // text that must SURVIVE the cap
+    val boiler = (0 until 1000).map(i => (s"c$i", "boilerplate error: upstream timeout"))
+    val rare = Seq(("cA", "rare shared text"), ("cB", "rare shared text"))
+    val turns = (boiler ++ rare).toDF("conv_id", "text")
+    val ct = Overlap.convText(turns, maxDf = 64)
+    val edges = Overlap.edges(ct).collect()
+    assert(edges.length == 1, s"candidates not bounded: ${edges.length}")
+    assert(edges.head.getString(0) == "cA" && edges.head.getString(1) == "cB")
+    // counted side output reports the dropped text with its df
+    val dropped = Overlap.droppedTexts(turns, maxDf = 64).collect()
+    assert(dropped.length == 1 && dropped.head.getAs[Long]("df") == 1000L)
+    // weighted edges honor the same cap
+    val w = Overlap.weightedEdges(ct).collect()
+    assert(w.length == 1 && w.head.getAs[Double]("weight") == 1.0)
+  }
+
   test("split blowup ratio guard (builders.py:379-380)") {
     val lines = gfaLines(
       "S\ts1\t10", "S\ts2\t10",
