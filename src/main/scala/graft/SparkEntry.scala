@@ -63,6 +63,46 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) => Sessions.byGap(T(s, dir), 1800)),
     "q_sessions_sw" -> ((s, dir) =>
       Sessions.bySessionWindow(T(s, dir), "30 minutes")),
+    // T1/T2/T3 under the driver oracle: the MICRO-BATCH EXECUTION PATH
+    // itself — MemoryStream source → watermarked session_window aggregate
+    // → append-mode memory sink across three triggers (the third is a
+    // far-future sentinel that advances the watermark so every real
+    // session finalizes). The sink table must equal the DuckDB islands
+    // oracle, so a regression in incremental planning, watermark
+    // advancement, or session-state handling breaks the hash match even
+    // while the batch twin (q_sessions_sw) stays correct — the batch
+    // plans never execute here.
+    "q_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = T(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .as[graft.schema.Turn]
+        .collect()                    // MemoryStream is driver-fed by design
+        .sortBy(_.ts.getTime)         // event-time order: no late batches
+      val sentinel = graft.schema.Turn("zz_watermark_sentinel", 0, "user",
+        "s", None,
+        new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000))
+      val ms = MemoryStream[graft.schema.Turn](
+        implicitly[org.apache.spark.sql.Encoder[graft.schema.Turn]],
+        s.sqlContext)
+      val name = s"q_stream_sessions_${System.nanoTime()}"
+      val q = graft.stream.CepQueries
+        .sessionStats(ms.toDF(), watermark = "10 minutes", gap = "30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+        ms.addData(Seq(sentinel)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .where(col("conv_id") =!= "zz_watermark_sentinel")
+        .select(col("conv_id"), col("n_turns"),
+                col("start_ts").cast("timestamp_ntz").as("start_ts"),
+                col("end_ts").cast("timestamp_ntz").as("end_ts"))
+    }),
     "q_turn_rate" -> ((s, dir) => Rates.tumblingPerTool(T(s, dir), "1 hour")),
     "q_role_cube" -> ((s, dir) => Rates.roleToolCube(T(s, dir))),
     "q_pairing" -> ((s, dir) => Pairing.userAssistant(T(s, dir))),
@@ -277,10 +317,14 @@ object SparkEntry {
     }),
 
     // --- multimodal plumbing (decode kernels stubbed; see graft.mm) ---
+    // f0 = first block mean of the stub decode — pure integer byte
+    // arithmetic + one float division, so it IS oracle-exact: float(s)/
+    // float(n) and float(double(s)/double(n)) are both the correctly
+    // rounded quotient when s, n are small integers
     "q_mm_features" -> ((s, dir) =>
       graft.mm.Media.features(graft.mm.Media.attach(docs(s, dir)))
         .select(col("media_id"), size(col("feature")).as("dim"),
-                round(element_at(col("feature"), 1), 4).as("f0"))),
+                element_at(col("feature"), 1).as("f0"))),
     "q_mm_frames" -> ((s, dir) =>
       graft.mm.Media.sampleFrames(graft.mm.Media.attach(docs(s, dir)))
         .groupBy("media_id")
@@ -408,6 +452,9 @@ object SparkEntry {
         |FROM turns""".stripMargin),
     "q_sessions" -> tsql(Sessions.byGapOracle(1800)),
     "q_sessions_sw" -> tsql(Sessions.sessionWindowOracle(1800)),
+    // identical islands oracle — but the Spark side executes the actual
+    // micro-batch streaming path, not the batch plan
+    "q_stream_sessions" -> tsql(Sessions.sessionWindowOracle(1800)),
     "q_turn_rate" -> tsql(
       """SELECT date_trunc('hour', ts) AS window_start, tool,
         |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
@@ -574,6 +621,23 @@ object SparkEntry {
         |     UNNEST(generate_series(0, CAST(d.nf AS BIGINT) - 1)) AS t(i)
         |WHERE i % 2 = 0
         |GROUP BY 1""".stripMargin,
+    // feature extraction over the stub decode IS byte arithmetic: block 0
+    // of decodeStub = mean of the first max(1, len/16) payload bytes; the
+    // documents text is ASCII (verified: octet_length == length corpus-
+    // wide), so ascii(substr(...)) reads the exact byte values, and
+    // REAL/REAL division is the correctly rounded float quotient both
+    // engines produce for small exact integers
+    "q_mm_features" ->
+      """SELECT media_id, CAST(16 AS INTEGER) AS dim,
+        |       CAST(CAST(s AS REAL) / CAST(blk AS REAL) AS REAL) AS f0
+        |FROM (
+        |  SELECT media_id, blk,
+        |         SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS s
+        |  FROM (SELECT doc_id AS media_id, text,
+        |               GREATEST(octet_length(encode(text)) // 16, 1) AS blk
+        |        FROM documents) b,
+        |       UNNEST(generate_series(1, CAST(b.blk AS BIGINT))) AS t(i)
+        |  GROUP BY 1, 2)""".stripMargin,
     "q_doc_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

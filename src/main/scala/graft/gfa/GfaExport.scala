@@ -98,13 +98,38 @@ object GfaExport {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
 
+  /** Collected node with its reference attrs (builders.py:171-189). */
+  private case class XNode(id: String, length: Option[Int],
+                           sequence: Option[String], tags: Option[String])
+  /** Collected edge with its reference attrs (builders.py:236-245). */
+  private case class XEdge(src: String, dst: String, weight: Option[Double],
+                           oriFrom: Option[String], oriTo: Option[String],
+                           tags: Option[String])
+
+  /** Tag map rendered back to canonical GFA text (`TAG:TYPE:VALUE`,
+    * `;`-joined, key-sorted) — XML attribute values must be scalar, and
+    * this form round-trips losslessly through [[GfaParse.tagMap]].
+    */
+  private def tagStrAt(r: org.apache.spark.sql.Row, idx: Int): Option[String] =
+    if (r.isNullAt(idx)) None
+    else {
+      val m = r.getMap[String, String](idx)
+      if (m.isEmpty) None
+      else Some(m.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }
+        .mkString(";"))
+    }
+
   /** Collect the graph to the driver for single-file XML serialization,
     * guarded: GraphML/GEXF are driver-side formats for SMALL result
     * graphs (the reference pipes the whole networkx object to a writer,
     * cli.py:282-306); a distributed graph belongs in parquet/JSON.
+    * Node attrs (length/sequence/tags) come from the S records —
+    * bidirected `id:ori` nodes strip the suffix to find their segment and
+    * both orientations carry the same payload (builders.py:167-178);
+    * edge attrs ride [[GfaGraph.edgesWithAttrs]].
     */
   private def collectGraph(lines: DataFrame, opts: GfaOptions, maxNodes: Long)
-      : (Seq[String], Seq[(String, String, Option[Double])]) = {
+      : (Seq[XNode], Seq[XEdge]) = {
     // guard BEFORE collecting — the whole point is protecting the driver
     // heap, so counts run distributed first; edges bounded too (a capped
     // node set can still carry an unbounded multigraph edge set)
@@ -114,23 +139,47 @@ object GfaExport {
       throw new IllegalStateException(
         s"XML export of $nNodes nodes exceeds maxNodes=$maxNodes; " +
         "use parquet/JSON exports for large graphs")
-    val edgeDf = GfaGraph.edges(lines, opts)
+    val edgeDf = GfaGraph.edgesWithAttrs(lines, opts)
     val nEdges = edgeDf.count()
     if (nEdges > 10L * maxNodes)
       throw new IllegalStateException(
         s"XML export of $nEdges edges exceeds ${10L * maxNodes}; " +
         "use parquet/JSON exports for large graphs")
-    val nodes = nodeDf.orderBy("node").collect().map(_.getString(0)).toSeq
-    val edges = edgeDf.orderBy("src", "dst")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1),
-                 if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val segAttrs = GfaParse.segments(lines)
+      .select(col("id").as("seg_id"), col("length"), col("sequence"),
+              col("tags"))
+    val segKey =
+      if (opts.bidirected) regexp_replace(col("node"), ":[+-]$", "")
+      else col("node")
+    val nodes = nodeDf.withColumn("seg_id", segKey)
+      .join(segAttrs, Seq("seg_id"), "left")
+      // duplicate S records for one id are pathological; one row per node
+      .dropDuplicates("node")
+      .select("node", "length", "sequence", "tags")
+      .orderBy("node").collect().map { r =>
+        XNode(r.getString(0),
+              if (r.isNullAt(1)) None else Some(r.getInt(1)),
+              Option(r.getString(2)),
+              tagStrAt(r, 3))
+      }.toSeq
+    val edges = edgeDf
+      .select("src", "dst", "weight", "orientation_from", "orientation_to",
+              "tags")
+      .orderBy("src", "dst").collect().map { r =>
+        XEdge(r.getString(0), r.getString(1),
+              if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+              Option(r.getString(3)), Option(r.getString(4)),
+              tagStrAt(r, 5))
+      }.toSeq
     (nodes, edges)
   }
 
   /** GraphML export (S12 tail; reference: nx.write_graphml via
-    * cli.py:282-306). Single-file XML, networkx-compatible schema: a
-    * `weight` edge key, edgedefault from the graph direction.
+    * cli.py:282-306). Single-file XML, networkx-compatible schema: edge
+    * keys weight/orientation_from/orientation_to/tags, node keys
+    * length/sequence/tags, edgedefault from the graph direction. Absent
+    * attrs are omitted per element, exactly like networkx omits keys not
+    * in a node's attr dict.
     */
   def saveGraphML(lines: DataFrame, path: String,
                   opts: GfaOptions = GfaOptions(),
@@ -140,11 +189,26 @@ object GfaExport {
     sb ++= "<?xml version='1.0' encoding='utf-8'?>\n"
     sb ++= "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n"
     sb ++= "  <key id=\"d0\" for=\"edge\" attr.name=\"weight\" attr.type=\"double\"/>\n"
+    sb ++= "  <key id=\"d1\" for=\"edge\" attr.name=\"orientation_from\" attr.type=\"string\"/>\n"
+    sb ++= "  <key id=\"d2\" for=\"edge\" attr.name=\"orientation_to\" attr.type=\"string\"/>\n"
+    sb ++= "  <key id=\"d3\" for=\"edge\" attr.name=\"tags\" attr.type=\"string\"/>\n"
+    sb ++= "  <key id=\"d4\" for=\"node\" attr.name=\"length\" attr.type=\"int\"/>\n"
+    sb ++= "  <key id=\"d5\" for=\"node\" attr.name=\"sequence\" attr.type=\"string\"/>\n"
+    sb ++= "  <key id=\"d6\" for=\"node\" attr.name=\"tags\" attr.type=\"string\"/>\n"
     sb ++= s"""  <graph edgedefault="${if (opts.graphDirected) "directed" else "undirected"}">\n"""
-    nodes.foreach(n => sb ++= s"""    <node id="${xmlEscape(n)}"/>\n""")
-    edges.foreach { case (s, d, w) =>
-      sb ++= s"""    <edge source="${xmlEscape(s)}" target="${xmlEscape(d)}">"""
-      w.foreach(v => sb ++= s"""<data key="d0">$v</data>""")
+    nodes.foreach { n =>
+      val data = n.length.map(v => s"""<data key="d4">$v</data>""").getOrElse("") +
+        n.sequence.map(v => s"""<data key="d5">${xmlEscape(v)}</data>""").getOrElse("") +
+        n.tags.map(v => s"""<data key="d6">${xmlEscape(v)}</data>""").getOrElse("")
+      if (data.isEmpty) sb ++= s"""    <node id="${xmlEscape(n.id)}"/>\n"""
+      else sb ++= s"""    <node id="${xmlEscape(n.id)}">$data</node>\n"""
+    }
+    edges.foreach { e =>
+      sb ++= s"""    <edge source="${xmlEscape(e.src)}" target="${xmlEscape(e.dst)}">"""
+      e.weight.foreach(v => sb ++= s"""<data key="d0">$v</data>""")
+      e.oriFrom.foreach(v => sb ++= s"""<data key="d1">${xmlEscape(v)}</data>""")
+      e.oriTo.foreach(v => sb ++= s"""<data key="d2">${xmlEscape(v)}</data>""")
+      e.tags.foreach(v => sb ++= s"""<data key="d3">${xmlEscape(v)}</data>""")
       sb ++= "</edge>\n"
     }
     sb ++= "  </graph>\n</graphml>\n"
@@ -152,7 +216,10 @@ object GfaExport {
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** GEXF 1.2 export (S12 tail; reference: nx.write_gexf). */
+  /** GEXF 1.2 export (S12 tail; reference: nx.write_gexf). Node/edge
+    * attrs are declared `<attributes>` sections with per-element
+    * `<attvalue>`s; weight stays the native GEXF edge attribute.
+    */
   def saveGexf(lines: DataFrame, path: String,
                opts: GfaOptions = GfaOptions(),
                maxNodes: Long = 1000000): Unit = {
@@ -161,13 +228,36 @@ object GfaExport {
     sb ++= "<?xml version='1.0' encoding='utf-8'?>\n"
     sb ++= "<gexf xmlns=\"http://gexf.net/1.2\" version=\"1.2\">\n"
     sb ++= s"""  <graph defaultedgetype="${if (opts.graphDirected) "directed" else "undirected"}" mode="static">\n"""
+    sb ++= "    <attributes class=\"node\">\n"
+    sb ++= "      <attribute id=\"n0\" title=\"length\" type=\"integer\"/>\n"
+    sb ++= "      <attribute id=\"n1\" title=\"sequence\" type=\"string\"/>\n"
+    sb ++= "      <attribute id=\"n2\" title=\"tags\" type=\"string\"/>\n"
+    sb ++= "    </attributes>\n"
+    sb ++= "    <attributes class=\"edge\">\n"
+    sb ++= "      <attribute id=\"e0\" title=\"orientation_from\" type=\"string\"/>\n"
+    sb ++= "      <attribute id=\"e1\" title=\"orientation_to\" type=\"string\"/>\n"
+    sb ++= "      <attribute id=\"e2\" title=\"tags\" type=\"string\"/>\n"
+    sb ++= "    </attributes>\n"
     sb ++= "    <nodes>\n"
-    nodes.foreach(n =>
-      sb ++= s"""      <node id="${xmlEscape(n)}" label="${xmlEscape(n)}"/>\n""")
+    nodes.foreach { n =>
+      val avs = n.length.map(v => s"""<attvalue for="n0" value="$v"/>""").getOrElse("") +
+        n.sequence.map(v => s"""<attvalue for="n1" value="${xmlEscape(v)}"/>""").getOrElse("") +
+        n.tags.map(v => s"""<attvalue for="n2" value="${xmlEscape(v)}"/>""").getOrElse("")
+      if (avs.isEmpty)
+        sb ++= s"""      <node id="${xmlEscape(n.id)}" label="${xmlEscape(n.id)}"/>\n"""
+      else
+        sb ++= s"""      <node id="${xmlEscape(n.id)}" label="${xmlEscape(n.id)}"><attvalues>$avs</attvalues></node>\n"""
+    }
     sb ++= "    </nodes>\n    <edges>\n"
-    edges.zipWithIndex.foreach { case ((s, d, w), i) =>
-      val wAttr = w.map(v => s""" weight="$v"""").getOrElse("")
-      sb ++= s"""      <edge id="$i" source="${xmlEscape(s)}" target="${xmlEscape(d)}"$wAttr/>\n"""
+    edges.zipWithIndex.foreach { case (e, i) =>
+      val wAttr = e.weight.map(v => s""" weight="$v"""").getOrElse("")
+      val avs = e.oriFrom.map(v => s"""<attvalue for="e0" value="${xmlEscape(v)}"/>""").getOrElse("") +
+        e.oriTo.map(v => s"""<attvalue for="e1" value="${xmlEscape(v)}"/>""").getOrElse("") +
+        e.tags.map(v => s"""<attvalue for="e2" value="${xmlEscape(v)}"/>""").getOrElse("")
+      if (avs.isEmpty)
+        sb ++= s"""      <edge id="$i" source="${xmlEscape(e.src)}" target="${xmlEscape(e.dst)}"$wAttr/>\n"""
+      else
+        sb ++= s"""      <edge id="$i" source="${xmlEscape(e.src)}" target="${xmlEscape(e.dst)}"$wAttr><attvalues>$avs</attvalues></edge>\n"""
     }
     sb ++= "    </edges>\n  </graph>\n</gexf>\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -83,27 +83,48 @@ object GfaGraph {
     * edge reverse-complemented unless keepDirectedBidir (G1-G2,
     * builders.py:231-256).
     */
-  def edges(lines: DataFrame, opts: GfaOptions = GfaOptions()): DataFrame = {
+  def edges(lines: DataFrame, opts: GfaOptions = GfaOptions()): DataFrame =
+    edgesWithAttrs(lines, opts).select("src", "dst", "weight")
+
+  /** [[edges]] plus the reference's graph edge attributes
+    * (builders.py:236-245): `orientation_from`/`orientation_to` are
+    * attached only on non-bidirected, non-stripped graphs (the reference
+    * builds an empty attrs dict otherwise — on bidirected graphs the
+    * orientation already lives in the `id:ori` node names), `tags` always
+    * rides along. Callers that don't reference the attr columns pay
+    * nothing: column pruning removes them from the scan.
+    */
+  def edgesWithAttrs(lines: DataFrame, opts: GfaOptions = GfaOptions()): DataFrame = {
     val raw = rawEdges(lines, opts)
+    val oriKept = !opts.bidirected && !opts.stripOrientation
+    val oFrom = (if (oriKept) col("from_orient") else lit(null).cast("string"))
+      .as("orientation_from")
+    val oTo = (if (oriKept) col("to_orient") else lit(null).cast("string"))
+      .as("orientation_to")
     if (opts.bidirected && !opts.keepDirectedBidir)
       // forward + reverse-complement twin in one pass (explode, not a
-      // second rawEdges scan)
+      // second rawEdges scan); the twin carries the same attrs dict as
+      // the reference's add_graph_edge mirror (builders.py:252-256)
       raw.select(explode(array(
           struct(bidirNode(col("from_id"), col("from_orient")).as("src"),
                  bidirNode(col("to_id"), col("to_orient")).as("dst"),
-                 col("weight")),
+                 col("weight"), oFrom, oTo, col("tags")),
           struct(bidirNode(col("to_id"), flip(col("to_orient"))).as("src"),
                  bidirNode(col("from_id"), flip(col("from_orient"))).as("dst"),
-                 col("weight")))).as("e"))
+                 col("weight"), oFrom, oTo, col("tags")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"),
-                col("e.weight").as("weight"))
+                col("e.weight").as("weight"),
+                col("e.orientation_from").as("orientation_from"),
+                col("e.orientation_to").as("orientation_to"),
+                col("e.tags").as("tags"))
     else if (opts.bidirected)
       raw.select(
         bidirNode(col("from_id"), col("from_orient")).as("src"),
         bidirNode(col("to_id"), col("to_orient")).as("dst"),
-        col("weight"))
+        col("weight"), oFrom, oTo, col("tags"))
     else
-      raw.select(col("from_id").as("src"), col("to_id").as("dst"), col("weight"))
+      raw.select(col("from_id").as("src"), col("to_id").as("dst"),
+                 col("weight"), oFrom, oTo, col("tags"))
   }
 
   /** Node set: segment nodes (± bidirected duplication, G1) ∪ edge

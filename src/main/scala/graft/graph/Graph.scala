@@ -80,13 +80,20 @@ object Graph {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // step 1: candidate label per node = min over neighbors' labels
+      // step 1: candidate label per node = min over neighbors' labels.
+      // The node's previous label rides the SAME aggregate as a
+      // max-ignoring-nulls column (each node appears in `labels` exactly
+      // once), so convergence detection below needs no extra join —
+      // the old per-round join-count job was pure fixed overhead.
       val viaNeighbors = und
         .join(labels.withColumnRenamed("node", "dst_n"),
               col("dst") === col("dst_n"))
-        .select(col("src").as("node"), col("label"))
-      val relaxed = labels.select("node", "label").union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("src").as("node"), col("label"),
+                lit(null).cast("string").as("old"))
+      val relaxed = labels
+        .select(col("node"), col("label"), col("label").as("old"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"), max("old").as("old"))
       // step 2: pointer jumping — adopt the label of one's label node
       // (path compression): turns O(diameter) convergence into
       // O(log diameter), which long chain graphs require
@@ -95,12 +102,12 @@ object Graph {
               col("a.label") === col("l_node"), "left")
         .select(col("a.node").as("node"),
                 least(col("a.label"), coalesce(col("l_label"), col("a.label")))
-                  .as("label"))
+                  .as("label"),
+                col("a.old").as("old"))
       val next = jumped.transform(ckpt)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.label") =!= col("o.label")).count()
-      labels = next
+      // shuffle-free count over the just-materialized blocks
+      changed = next.where(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
       iter += 1
     }
     und.unpersist(blocking = false)
@@ -160,7 +167,15 @@ object Graph {
         .transform(ckpt)
       frontierSize = newFrontier.count()
       if (frontierSize > 0)
-        dist = dist.union(newFrontier).transform(ckpt)
+        // INCREMENTAL state: only the frontier delta was checkpointed
+        // above; `dist` stays a lazy union of the per-round delta leaves
+        // (deltas are disjoint by the anti-join, so no dedup is needed).
+        // Re-materializing the full state here was O(rounds × state)
+        // checkpoint I/O — the dominant fixed cost of deep traversals.
+        dist = dist.union(newFrontier)
+      // compact every 16 rounds so plan depth (and the anti-join's leaf
+      // fan-in) stays bounded on large-diameter graphs
+      if (iter % 16 == 15) dist = dist.transform(ckpt)
       frontier = newFrontier
       done = hitStop(frontier)
       iter += 1
@@ -240,8 +255,17 @@ object Graph {
                  edges.select(col("dst").as("src"), col("src").as("dst"), w)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
+    // INCREMENTAL state: `dist` is a lazy union of checkpointed
+    // improvement deltas — later deltas strictly beat earlier entries for
+    // the same (tag, node), so the current best is min-over-union and the
+    // exact table is only aggregated once, at the end (and at the
+    // periodic compactions that bound plan depth). The old formulation
+    // full-outer-joined and re-checkpointed the ENTIRE dist table every
+    // round: O(rounds × state) shuffle+checkpoint I/O.
     var dist = seeds.select(col("tag"), col("node"), lit(0.0).as("dist"))
       .distinct().transform(ckpt)
+    def bestDist(): DataFrame =
+      dist.groupBy("tag", "node").agg(min("dist").as("dist"))
     var frontier = dist
     var iter = 0
     var frontierSize = frontier.count()
@@ -264,22 +288,19 @@ object Graph {
       val candidates = frontier.join(adj, frontier("node") === adj("src"))
         .select(col("tag"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("tag", "node").agg(min("dist").as("dist"))
+      // a candidate improves iff NO existing entry is already ≤ it —
+      // one anti-join against the raw delta union, no aggregation of the
+      // full state on the per-round path
       val improved = candidates.as("c")
-        .join(dist.as("d"), Seq("tag", "node"), "left")
-        .where(col("d.dist").isNull || col("c.dist") < col("d.dist"))
-        .select(col("tag"), col("node"), col("c.dist").as("dist"))
+        .join(dist.as("d"),
+              col("c.tag") === col("d.tag") && col("c.node") === col("d.node") &&
+              col("d.dist") <= col("c.dist"),
+              "left_anti")
+        .select(col("tag"), col("node"), col("dist"))
         .transform(ckpt)
       frontierSize = improved.count()
-      if (frontierSize > 0)
-        // full-outer merge instead of union+groupBy: Union over two
-        // localCheckpoint'd LogicalRDDs trips constraint rewriting in this
-        // Spark build (AttributeMap key-not-found in rewriteConstraints)
-        dist = dist.as("d")
-          .join(improved.as("i"), Seq("tag", "node"), "full")
-          .select(col("tag"), col("node"),
-                  least(coalesce(col("i.dist"), col("d.dist")),
-                        coalesce(col("d.dist"), col("i.dist"))).as("dist"))
-          .transform(ckpt)
+      if (frontierSize > 0) dist = dist.union(improved)
+      if (iter % 8 == 7) dist = bestDist().transform(ckpt)
       frontier = improved
       iter += 1
       done = frontierSize > 0 && settled()
@@ -289,7 +310,7 @@ object Graph {
       throw new IllegalStateException(
         s"weightedMultiSourceDist still improving after $maxIter rounds " +
         s"($frontierSize labels); raise maxIter")
-    dist
+    bestDist()
   }
 
   /** All-pairs group distance matrix (Q4, analysis.py:180-272): one

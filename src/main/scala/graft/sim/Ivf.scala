@@ -12,12 +12,18 @@ import graft.functions.VecFunctions.vec_dot
   * `nClusters` inverted lists; queries probe the `nprobe` nearest
   * centroids and rerank exactly within those lists only.
   *
-  * Everything is deterministic (hash-ordered initialization, fixed Lloyd
-  * iteration count) and distributed: training assigns via a broadcast
-  * centroid table + min_by, centroid updates are a posexplode → per-dim
-  * mean → rebuild (no driver-side vectors); the search is two broadcast
-  * joins and a map-side-combinable top-k — no shuffle ever carries the
-  * corpus more than once.
+  * Scale shape: training runs on a DETERMINISTIC HASH-ORDERED SAMPLE
+  * (`sampleFactor` × nClusters vectors — standard IVF practice; the
+  * sample is what Lloyd's per-dimension means shuffle, never the corpus),
+  * and the trained centroid table is a reusable artifact: production
+  * callers train once per corpus via [[trainCentroids]] and run any
+  * number of query batches through [[ivfTopKWith]]. The search itself is
+  * one broadcast of the nClusters-row centroid table plus equi-joins on
+  * (cluster_id) and (query_id) — no hint forces the query side into a
+  * broadcast, so corpus-as-queries workloads (self-kNN graphs) cannot
+  * blow the driver; AQE still broadcasts genuinely small query batches
+  * at runtime. Everything is deterministic: hash-ordered init, fixed
+  * Lloyd iteration count, no RNG.
   */
 object Ivf {
 
@@ -25,24 +31,36 @@ object Ivf {
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
 
   /** Train `nClusters` spherical-k-means centroids (cosine assignment,
-    * per-dimension mean update, `iters` Lloyd rounds). Initialization is
-    * the `nClusters` corpus vectors with the smallest xxhash64(id) —
-    * deterministic, no RNG. Returns (cluster_id, centroid: array<float>).
+    * per-dimension mean update, `iters` Lloyd rounds) on a deterministic
+    * sample: the `sampleFactor × nClusters` corpus vectors with the
+    * smallest xxhash64(id) — one TakeOrdered pass over the corpus, after
+    * which every Lloyd round shuffles sample×dims rows instead of
+    * corpus×dims (at 768-dim/100-TB scale the full-corpus variant is a
+    * bigger job than the search it accelerates). Clusters that lose all
+    * members in a round keep their previous centroid (a silently
+    * shrinking centroid table would degrade nprobe recall with no
+    * signal). Returns (cluster_id, centroid: array<float>).
     */
   def trainCentroids(corpus: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     nClusters: Int = 16, iters: Int = 3): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // hash-ordered deterministic init; the global window is over the
-    // nClusters-row dimension table only (post-limit), not the corpus
-    var centroids = vecs
+                     nClusters: Int = 16, iters: Int = 3,
+                     sampleFactor: Int = 100): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .orderBy(xxhash64(col("id")), col("id"))
-      .limit(nClusters)
-      .withColumn("cluster_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(xxhash64(col("id")), col("id"))).cast("int"))
-      .select(col("cluster_id"), col("v").as("centroid"))
+      .limit(nClusters * sampleFactor)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // init = the nClusters hash-smallest sample rows; ids are assigned on
+    // the driver — an nClusters-row dimension table, so collecting it is
+    // O(clusters), and it avoids the single-partition global window a
+    // row_number() ranking would plan (warning noise + a needless funnel)
+    val initRows = vecs.orderBy(xxhash64(col("id")), col("id"))
+      .limit(nClusters).select(col("v")).collect()
+    var centroids = initRows.toSeq.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](0)) }
+      .toDF("cluster_id", "centroid")
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
@@ -55,8 +73,14 @@ object Ivf {
         .groupBy("cluster_id")
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e.getField("m").cast("float")).as("centroid"))
-      centroids = updated.localCheckpoint(true)
+          e => e.getField("m").cast("float")).as("next"))
+      // empty-cluster carry-forward: left join against the previous round
+      val merged = centroids
+        .select(col("cluster_id"), col("centroid").as("prev"))
+        .join(updated, Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+                coalesce(col("next"), col("prev")).as("centroid"))
+      centroids = merged.localCheckpoint(true)
       i += 1
     }
     vecs.unpersist(blocking = false)
@@ -64,7 +88,7 @@ object Ivf {
   }
 
   /** Hard assignment: nearest centroid by cosine (broadcast centroids,
-    * min_by over the small cluster dimension). Returns (id, cluster_id).
+    * max_by over the small cluster dimension). Returns (id, cluster_id).
     */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
@@ -73,31 +97,46 @@ object Ivf {
       .groupBy("id")
       .agg(expr("max_by(cluster_id, struct(sim, -cluster_id))").as("cluster_id"))
 
-  /** IVF approximate top-k: probe the `nprobe` nearest inverted lists per
-    * query, exact cosine rerank within them via the map-side-combinable
-    * [[graft.ops.TopKByScore]] (only keys×k rows cross the final shuffle).
+  /** Convenience overload: trains (on the sample) and searches in one
+    * call — the driver-contract shape. The timed cost of a query batch
+    * through here INCLUDES index training; amortized deployments use
+    * [[trainCentroids]] + [[ivfTopKWith]].
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nClusters: Int = 16, nprobe: Int = 4, iters: Int = 3,
-              simDecimals: Int = -1): DataFrame = {
+              simDecimals: Int = -1): DataFrame =
+    ivfTopKWith(corpus, queries,
+                trainCentroids(corpus, idCol, vecCol, nClusters, iters),
+                k, idCol, vecCol, nprobe, simDecimals)
+
+  /** IVF approximate top-k against a PRE-TRAINED centroid table: probe
+    * the `nprobe` nearest inverted lists per query, exact cosine rerank
+    * within them via the map-side-combinable [[graft.ops.TopKByScore]]
+    * (only keys×k rows cross the final shuffle). `centroids` comes from
+    * [[trainCentroids]] — an already-materialized (localCheckpoint'd)
+    * nClusters-row table, so no extra persist is taken here.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  nprobe: Int = 4, simDecimals: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = trainCentroids(corpus, idCol, vecCol, nClusters, iters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val lists = assign(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
       .withColumnRenamed("id", "nbr_id")
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(vec_dot(col("q_vec"), col("q_vec"))))
-    val probes = qv.select(col("query_id"), col("q_vec").as("v")).crossJoin(broadcast(centroids))
+    val probes = qv.select(col("query_id"), col("q_vec").as("v"))
+      .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("cluster_id"),
               cos(col("v"), col("centroid")).as("csim"))
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("csim").desc, col("cluster_id").asc)))
-      .where(col("r") <= nprobe)
-      .select("query_id", "cluster_id")
+      .groupBy("query_id")
+      .agg(expr(
+        s"slice(array_sort(collect_list(struct(-csim, cluster_id))), 1, $nprobe)")
+        .as("top"))
+      .select(col("query_id"), explode(col("top.cluster_id")).as("cluster_id"))
     val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", sqrt(vec_dot(col("nbr_vec"), col("nbr_vec"))))
       .join(lists, Seq("nbr_id"))
@@ -105,18 +144,21 @@ object Ivf {
       (col("q_norm") * col("nbr_norm"))).as("sim")
     val rankKey =
       if (simDecimals >= 0) round(col("sim"), simDecimals) else col("sim")
-    val scored = cv.join(broadcast(probes), Seq("cluster_id"))
-      .join(broadcast(qv), Seq("query_id"))
+    // no broadcast hints on probes/qv: with corpus-as-queries both sides
+    // are corpus-sized (a forced broadcast would hit the 8 GB limit /
+    // driver OOM long before corpus scale); AQE broadcasts small query
+    // batches at runtime on its own
+    val scored = cv.join(probes, Seq("cluster_id"))
+      .join(qv, Seq("query_id"))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"), sim)
       .select(col("query_id"), col("nbr_id"), rankKey.as("key"), col("sim"))
       .as[graft.ops.ScoredRow]
-    val out = scored.groupByKey(_.query_id)
+    scored.groupByKey(_.query_id)
       .agg(new graft.ops.TopKByScore(k).toColumn.name("top"))
       .select(col("key").as("query_id"),
               posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), col("e.nbr_id").as("nbr_id"),
               col("e.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
-    out
   }
 }

@@ -63,23 +63,36 @@ object Dedup {
       array_min(transform(shingleHashes, x => xxhash64(lit(h), x)))
     }: _*)
 
+  /** Memo of the persisted token-hash tables, keyed on (session,
+    * canonicalized input plan, params): the same docs table is shingled
+    * by several dedup queries per session, and re-persisting an identical
+    * plan each call both leaked storage handles and spammed "already
+    * cached" warnings (degrading that warning's diagnostic value).
+    */
+  private val hashedDocsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Any, String, String, Int), DataFrame]
+
   private def hashedDocs(docs: DataFrame, idCol: String, textCol: String,
                          shingleK: Int): DataFrame = {
-    // persist = a CollapseProject barrier: shingleHashesFromTokenHashes
-    // references `th` k+1 times, and without the InMemoryRelation boundary
-    // the optimizer inlines the tokenize+hash subtree into every reference
-    // (measured 6× recompute). The cached array is also what the
-    // candidate and verify stages share.
-    val thDf = docs
-      .select(col(idCol).as("id"),
-        transform(
-          split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "),
-          t => xxhash64(t)).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    thDf
-      .select(col("id"),
-              shingleHashesFromTokenHashes(col("th"), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+               idCol, textCol, shingleK)
+    hashedDocsCache.computeIfAbsent(key, { _ =>
+      // persist = a CollapseProject barrier: shingleHashesFromTokenHashes
+      // references `th` k+1 times, and without the InMemoryRelation
+      // boundary the optimizer inlines the tokenize+hash subtree into
+      // every reference (measured 6× recompute). The cached array is also
+      // what the candidate and verify stages share.
+      val thDf = docs
+        .select(col(idCol).as("id"),
+          transform(
+            split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "),
+            t => xxhash64(t)).as("th"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      thDf
+        .select(col("id"),
+                shingleHashesFromTokenHashes(col("th"), shingleK).as("sh"))
+        .where(size(col("sh")) > 0)
+    })
   }
 
   /** Production guard for LSH banding: every member pair of one bucket

@@ -55,23 +55,49 @@ class ExportSpec extends SparkSuite {
   test("GraphML + GEXF round-trip via XML re-read (test_export_formats.py)") {
     val dir = java.nio.file.Files.createTempDirectory("exp_xml").toString
     val wlines = gfaLines(
-      "S\ts1\tACGT", "S\ts<2>\tTTTT", // id with XML-special chars
+      "S\ts1\tACGT\tSN:Z:chr1", "S\ts<2>\tTTTT", // id with XML-special chars
       "L\ts1\t+\ts<2>\t-\t0M\tRC:i:7")
     val opts = GfaOptions(weightTag = Some("RC"))
     GfaExport.saveGraphML(wlines, s"$dir/g.graphml", opts)
     GfaExport.saveGexf(wlines, s"$dir/g.gexf", opts)
     def parse(p: String) = javax.xml.parsers.DocumentBuilderFactory
       .newInstance().newDocumentBuilder().parse(new java.io.File(p))
+    def dataOf(el: org.w3c.dom.Element): Map[String, String] = {
+      val ds = el.getElementsByTagName("data")
+      (0 until ds.getLength).map { i =>
+        val d = ds.item(i).asInstanceOf[org.w3c.dom.Element]
+        d.getAttribute("key") -> d.getTextContent
+      }.toMap
+    }
     val gml = parse(s"$dir/g.graphml")
     assert(gml.getElementsByTagName("node").getLength == 2)
     assert(gml.getElementsByTagName("edge").getLength == 1)
     val e = gml.getElementsByTagName("edge").item(0).asInstanceOf[org.w3c.dom.Element]
     assert(e.getAttribute("target") == "s<2>")
     assert(e.getElementsByTagName("data").item(0).getTextContent == "7.0")
+    // attribute round-trip (builders.py:171-189 node attrs, :236-245 edge
+    // attrs): edge carries weight + orientations + tags; nodes carry
+    // sequence (+ tags on s1)
+    val eAttrs = dataOf(e)
+    assert(eAttrs == Map("d0" -> "7.0", "d1" -> "+", "d2" -> "-",
+                         "d3" -> "RC:i:7"))
+    val nodeEls = (0 until 2).map(i =>
+      gml.getElementsByTagName("node").item(i).asInstanceOf[org.w3c.dom.Element])
+    val n1 = nodeEls.find(_.getAttribute("id") == "s1").get
+    assert(dataOf(n1) == Map("d5" -> "ACGT", "d6" -> "SN:Z:chr1"))
+    val n2 = nodeEls.find(_.getAttribute("id") == "s<2>").get
+    assert(dataOf(n2) == Map("d5" -> "TTTT"))
     val gexf = parse(s"$dir/g.gexf")
     assert(gexf.getElementsByTagName("node").getLength == 2)
     val ge = gexf.getElementsByTagName("edge").item(0).asInstanceOf[org.w3c.dom.Element]
     assert(ge.getAttribute("weight") == "7.0" && ge.getAttribute("source") == "s1")
+    // gexf attvalues round-trip
+    val avs = ge.getElementsByTagName("attvalue")
+    val avMap = (0 until avs.getLength).map { i =>
+      val a = avs.item(i).asInstanceOf[org.w3c.dom.Element]
+      a.getAttribute("for") -> a.getAttribute("value")
+    }.toMap
+    assert(avMap == Map("e0" -> "+", "e1" -> "-", "e2" -> "RC:i:7"))
     // guard: oversize graphs are refused
     intercept[IllegalStateException] {
       GfaExport.saveGraphML(wlines, s"$dir/g2.graphml", opts, maxNodes = 1)
