@@ -58,7 +58,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout passes through sbt's logger (an "[info] " prefix) and the
+    // driver keeps only a bounded tail — a plain file copy survives both
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

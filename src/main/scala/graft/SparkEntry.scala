@@ -87,10 +87,21 @@ object SparkEntry {
         implicitly[org.apache.spark.sql.Encoder[graft.schema.Turn]],
         s.sqlContext)
       val name = s"q_stream_sessions_${System.nanoTime()}"
-      val q = graft.stream.CepQueries
-        .sessionStats(ms.toDF(), watermark = "10 minutes", gap = "30 minutes")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      // streaming state partitions are fixed at query start from
+      // spark.sql.shuffle.partitions; a driver-fed MemoryStream carries
+      // megabytes, and every partition costs a state-store commit (file +
+      // fsync) PER MICRO-BATCH — 32 partitions × 3 triggers was ~10 s of
+      // pure commit overhead. Scope the session down for this query and
+      // restore after (a real deployment sizes state partitions to the
+      // keyed-state volume, not to the batch-analytics core count).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try graft.stream.CepQueries
+          .sessionStats(ms.toDF(), watermark = "10 minutes", gap = "30 minutes")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
         ms.addData(b1); q.processAllAvailable()
@@ -306,13 +317,16 @@ object SparkEntry {
         .select("query_id", "nbr_id", "rank")
     }),
     // IVF scale path: spherical-k-means inverted lists + nprobe search
-    // (deterministic training; recall vs brute pinned in KnnSpec).
-    // Timed cost INCLUDES index training — a real deployment trains once
-    // and amortizes it across every query batch.
+    // (deterministic sample-based training; recall vs brute pinned in
+    // KnnSpec on clustered data — the near-uniform synthetic corpus here
+    // is IVF's worst case, measured 0.61 recall at these params vs 0.55
+    // at coarser/costlier ones). Timed cost INCLUDES index training — a
+    // real deployment trains once (trainCentroids + invertedLists) and
+    // amortizes across every query batch via ivfTopKWith.
     "q_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Ivf.ivfTopK(e, e, 5, nClusters = 16, nprobe = 4, iters = 2,
-                  simDecimals = 6)
+      Ivf.ivfTopK(e, e, 5, nClusters = 32, nprobe = 8, iters = 2,
+                  simDecimals = 6, sampleFactor = 25)
         .select("query_id", "nbr_id", "rank")
     }),
 

@@ -97,6 +97,19 @@ object Ivf {
       .groupBy("id")
       .agg(expr("max_by(cluster_id, struct(sim, -cluster_id))").as("cluster_id"))
 
+  /** The inverted lists — the second half of the reusable index:
+    * (nbr_id, cluster_id) assignment of the FULL corpus against trained
+    * centroids. Production deployments materialize this once per corpus
+    * snapshot (it is a parquet-writeable table bucketable by cluster_id)
+    * and pass it to [[ivfTopKWith]]; the convenience path recomputes it
+    * per call.
+    */
+  def invertedLists(corpus: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    assign(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
+      .withColumnRenamed("id", "nbr_id")
+
   /** Convenience overload: trains (on the sample) and searches in one
     * call — the driver-contract shape. The timed cost of a query batch
     * through here INCLUDES index training; amortized deployments use
@@ -105,9 +118,10 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nClusters: Int = 16, nprobe: Int = 4, iters: Int = 3,
-              simDecimals: Int = -1): DataFrame =
+              simDecimals: Int = -1, sampleFactor: Int = 100): DataFrame =
     ivfTopKWith(corpus, queries,
-                trainCentroids(corpus, idCol, vecCol, nClusters, iters),
+                trainCentroids(corpus, idCol, vecCol, nClusters, iters,
+                               sampleFactor),
                 k, idCol, vecCol, nprobe, simDecimals)
 
   /** IVF approximate top-k against a PRE-TRAINED centroid table: probe
@@ -123,9 +137,7 @@ object Ivf {
                   nprobe: Int = 4, simDecimals: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val lists = assign(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
-      .withColumnRenamed("id", "nbr_id")
+    val lists = invertedLists(corpus, centroids, idCol, vecCol)
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(vec_dot(col("q_vec"), col("q_vec"))))
     val probes = qv.select(col("query_id"), col("q_vec").as("v"))
