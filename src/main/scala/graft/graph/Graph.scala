@@ -10,6 +10,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Frontier-broadcast threshold for the iterative kernels (rows): a
+    * frontier at or below this is build-side-broadcast in the per-round
+    * joins, so the persisted adjacency is never re-shuffled. ~60 B/row →
+    * ≤ ~60 MB broadcast. Above it the kernels fall back to shuffle joins
+    * (the 100-TB wide-frontier path).
+    */
+  val BroadcastFrontierRows: Long = 1000000L
+
   /** Eager lineage barrier for the iterative driver loops that ALSO
     * resets plan statistics: localCheckpoint preserves the checkpointed
     * plan's size estimate, and a kernel that self-joins its state every
@@ -66,9 +74,14 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, allNodes: Option[DataFrame] = None,
                           maxIter: Int = 50): DataFrame = {
-    // persist the adjacency: every round joins against it, and without a
-    // barrier each round would recompute the entire upstream derivation
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // persist the adjacency PRE-PARTITIONED ON ITS JOIN KEY (dst): the
+    // cached InMemoryRelation reports that hash partitioning, so every
+    // round's join shuffles only the label table — without this, the
+    // full edge set re-shuffles each round (measured as the dominant
+    // per-round cost on wide graphs). persist also stops each round from
+    // recomputing the upstream derivation.
+    val und = undirected(edges).repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = allNodes
       .map(_.select(col("node")))
       .getOrElse(und.select(col("src").as("node")).distinct())
@@ -143,7 +156,12 @@ object Graph {
                           stopSet: Option[DataFrame],
                           directed: Boolean = false, maxIter: Int = 512)
       : DataFrame = {
+    // pre-partitioned on the join key: each round's frontier⋈adj then
+    // shuffles ONLY the frontier (the cached relation's hash partitioning
+    // satisfies the join's distribution requirement) — re-shuffling the
+    // full edge set per round was the dominant per-round cost
     val adj = (if (directed) edges.select("src", "dst") else undirected(edges))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     var dist = seeds.select(col("tag"), col("node"), lit(0L).as("dist"))
@@ -152,16 +170,40 @@ object Graph {
       !frontierDf.join(s.select(col("node")), Seq("node"), "left_semi")
         .limit(1).isEmpty)
     var frontier = dist
+    // the previous round's delta — on an undirected graph an expansion
+    // of frontier F_d can only touch nodes at distance d−1, d, or d+1
+    // (per tag; hop distance changes by at most 1 across an undirected
+    // edge), so "already seen" is exactly F_{d−1} ∪ F_d: the anti-join
+    // reads TWO frontier-sized deltas instead of the full accumulated
+    // state — per-round work is O(frontier neighborhood), independent of
+    // how much state has accumulated, and the plan shape is constant
+    // across rounds (codegen/plan caches hit). A directed edge breaks
+    // the ±1 bound (a long path can re-reach a short-path node), so the
+    // directed variant anti-joins the full state union.
+    var prev = dist.limit(0)
     var iter = 0
     var frontierSize = frontier.count()
     var done = hitStop(frontier)
     while (!done && frontierSize > 0 && iter < maxIter) {
-      val expanded = frontier
-        .join(adj, frontier("node") === adj("src"))
+      // the frontier size is known EXACTLY (counted last round) — while
+      // it fits a broadcast, build-side-broadcast both per-round joins so
+      // the persisted adjacency is never shuffled (each round is then one
+      // narrow pass over the cached edge partitions + one
+      // neighborhood-sized shuffle for the dedup aggregate). Frontiers
+      // beyond the threshold fall back to shuffle joins.
+      val f = if (frontierSize <= BroadcastFrontierRows) broadcast(frontier)
+              else frontier
+      val expanded = f
+        .join(adj, f("node") === adj("src"))
         .select(col("tag"), col("dst").as("node"), (col("dist") + 1).as("dist"))
+      val seenBase = if (directed) dist else prev.union(frontier)
+      val seen =
+        if (!directed && 2 * frontierSize <= BroadcastFrontierRows)
+          broadcast(seenBase)
+        else seenBase
       // keep only strictly new (tag, node) pairs
       val newFrontier = expanded
-        .join(dist.select(col("tag").as("t2"), col("node").as("n2")),
+        .join(seen.select(col("tag").as("t2"), col("node").as("n2")),
               col("tag") === col("t2") && col("node") === col("n2"), "left_anti")
         .groupBy("tag", "node").agg(min("dist").as("dist"))
         .transform(ckpt)
@@ -173,9 +215,13 @@ object Graph {
         // Re-materializing the full state here was O(rounds × state)
         // checkpoint I/O — the dominant fixed cost of deep traversals.
         dist = dist.union(newFrontier)
-      // compact every 16 rounds so plan depth (and the anti-join's leaf
-      // fan-in) stays bounded on large-diameter graphs
-      if (iter % 16 == 15) dist = dist.transform(ckpt)
+      // bound the union's leaf fan-in on large-diameter graphs: every 16
+      // rounds for the directed variant (its anti-join replans over the
+      // union each round), every 64 for undirected (the union is only
+      // consumed once, at the end)
+      if (iter % (if (directed) 16 else 64) == (if (directed) 15 else 63))
+        dist = dist.transform(ckpt)
+      prev = frontier
       frontier = newFrontier
       done = hitStop(frontier)
       iter += 1
@@ -253,6 +299,7 @@ object Graph {
     val adj = (if (directed) adjBase
                else adjBase.union(
                  edges.select(col("dst").as("src"), col("src").as("dst"), w)))
+      .repartition(col("src")) // see multiSourceBfsUntil: frontier-only shuffles
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     // INCREMENTAL state: `dist` is a lazy union of checkpointed
@@ -285,7 +332,12 @@ object Graph {
     }
     var done = frontierSize > 0 && settled()
     while (!done && frontierSize > 0 && iter < maxIter) {
-      val candidates = frontier.join(adj, frontier("node") === adj("src"))
+      // small improving frontiers broadcast (size known from last
+      // round's count) — the cached adjacency never re-shuffles; see
+      // multiSourceBfsUntil
+      val f = if (frontierSize <= BroadcastFrontierRows) broadcast(frontier)
+              else frontier
+      val candidates = f.join(adj, f("node") === adj("src"))
         .select(col("tag"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("tag", "node").agg(min("dist").as("dist"))
       // a candidate improves iff NO existing entry is already ≤ it —
