@@ -80,39 +80,46 @@ object SparkEntry {
         .as[graft.schema.Turn]
         .collect()                    // MemoryStream is driver-fed by design
         .sortBy(_.ts.getTime)         // event-time order: no late batches
-      val sentinel = graft.schema.Turn("zz_watermark_sentinel", 0, "user",
-        "s", None,
-        new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000))
-      val ms = MemoryStream[graft.schema.Turn](
-        implicitly[org.apache.spark.sql.Encoder[graft.schema.Turn]],
-        s.sqlContext)
-      val name = s"q_stream_sessions_${System.nanoTime()}"
-      // streaming state partitions are fixed at query start from
-      // spark.sql.shuffle.partitions; a driver-fed MemoryStream carries
-      // megabytes, and every partition costs a state-store commit (file +
-      // fsync) PER MICRO-BATCH — 32 partitions × 3 triggers was ~10 s of
-      // pure commit overhead. Scope the session down for this query and
-      // restore after (a real deployment sizes state partitions to the
-      // keyed-state volume, not to the batch-analytics core count).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q =
-        try graft.stream.CepQueries
-          .sessionStats(ms.toDF(), watermark = "10 minutes", gap = "30 minutes")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
-        ms.addData(b1); q.processAllAvailable()
-        ms.addData(b2); q.processAllAvailable()
-        ms.addData(Seq(sentinel)); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name)
-        .where(col("conv_id") =!= "zz_watermark_sentinel")
-        .select(col("conv_id"), col("n_turns"),
-                col("start_ts").cast("timestamp_ntz").as("start_ts"),
-                col("end_ts").cast("timestamp_ntz").as("end_ts"))
+      if (rows.isEmpty)
+        // degrade like every batch query does on an empty turns table
+        // (rows.last below would otherwise throw before the stream starts)
+        Sessions.bySessionWindow(T(s, dir), "30 minutes")
+          .select("conv_id", "n_turns", "start_ts", "end_ts").limit(0)
+      else {
+        val sentinel = graft.schema.Turn("zz_watermark_sentinel", 0, "user",
+          "s", None,
+          new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000))
+        val ms = MemoryStream[graft.schema.Turn](
+          implicitly[org.apache.spark.sql.Encoder[graft.schema.Turn]],
+          s.sqlContext)
+        val name = s"q_stream_sessions_${System.nanoTime()}"
+        // streaming state partitions are fixed at query start from
+        // spark.sql.shuffle.partitions; a driver-fed MemoryStream carries
+        // megabytes, and every partition costs a state-store commit (file
+        // + fsync) PER MICRO-BATCH — 32 partitions × 3 triggers was ~10 s
+        // of pure commit overhead. Scope the session down for this query
+        // and restore after (a real deployment sizes state partitions to
+        // the keyed-state volume, not to the batch-analytics core count).
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.stream.CepQueries
+            .sessionStats(ms.toDF(), watermark = "10 minutes", gap = "30 minutes")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2); q.processAllAvailable()
+          ms.addData(Seq(sentinel)); q.processAllAvailable()
+        } finally q.stop()
+        s.table(name)
+          .where(col("conv_id") =!= "zz_watermark_sentinel")
+          .select(col("conv_id"), col("n_turns"),
+                  col("start_ts").cast("timestamp_ntz").as("start_ts"),
+                  col("end_ts").cast("timestamp_ntz").as("end_ts"))
+      }
     }),
     "q_turn_rate" -> ((s, dir) => Rates.tumblingPerTool(T(s, dir), "1 hour")),
     "q_role_cube" -> ((s, dir) => Rates.roleToolCube(T(s, dir))),
@@ -413,17 +420,16 @@ object SparkEntry {
     * repeated calls don't re-persist an identical plan (a handle leak and
     * an "already cached" warning in long-lived sessions).
     */
-  private val convTextCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val convTextCache = new graft.ops.SessionMemo[String]
 
   private def restrictedConvText(s: SparkSession, dir: String): DataFrame =
-    convTextCache.computeIfAbsent((s, dir), { _ =>
+    convTextCache.getOrElseUpdate(s, dir) {
       graft.ops.Overlap.convText(
           T(s, dir).where(col("conv_id").startsWith("c0d") ||
                           col("conv_id").startsWith("c1d")),
           OverlapDfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   // ------------------------------------------------------------- oracles
 

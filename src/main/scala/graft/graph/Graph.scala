@@ -181,24 +181,29 @@ object Graph {
     // the ±1 bound (a long path can re-reach a short-path node), so the
     // directed variant anti-joins the full state union.
     var prev = dist.limit(0)
+    var prevSize = 0L
     var iter = 0
     var frontierSize = frontier.count()
     var done = hitStop(frontier)
     while (!done && frontierSize > 0 && iter < maxIter) {
+      val curSize = frontierSize
       // the frontier size is known EXACTLY (counted last round) — while
       // it fits a broadcast, build-side-broadcast both per-round joins so
       // the persisted adjacency is never shuffled (each round is then one
       // narrow pass over the cached edge partitions + one
       // neighborhood-sized shuffle for the dedup aggregate). Frontiers
       // beyond the threshold fall back to shuffle joins.
-      val f = if (frontierSize <= BroadcastFrontierRows) broadcast(frontier)
+      val f = if (curSize <= BroadcastFrontierRows) broadcast(frontier)
               else frontier
       val expanded = f
         .join(adj, f("node") === adj("src"))
         .select(col("tag"), col("dst").as("node"), (col("dist") + 1).as("dist"))
       val seenBase = if (directed) dist else prev.union(frontier)
+      // the seen set is prev ∪ frontier — BOTH counted sizes gate its
+      // broadcast (a collapsing frontier after a huge round must not
+      // force last round's 50M-row delta into a broadcast)
       val seen =
-        if (!directed && 2 * frontierSize <= BroadcastFrontierRows)
+        if (!directed && prevSize + curSize <= BroadcastFrontierRows)
           broadcast(seenBase)
         else seenBase
       // keep only strictly new (tag, node) pairs
@@ -222,6 +227,7 @@ object Graph {
       if (iter % (if (directed) 16 else 64) == (if (directed) 15 else 63))
         dist = dist.transform(ckpt)
       prev = frontier
+      prevSize = curSize
       frontier = newFrontier
       done = hitStop(frontier)
       iter += 1

@@ -68,15 +68,17 @@ object Dedup {
     * by several dedup queries per session, and re-persisting an identical
     * plan each call both leaked storage handles and spammed "already
     * cached" warnings (degrading that warning's diagnostic value).
+    * Dead-session eviction + persist()-equivalent staleness semantics:
+    * [[graft.ops.SessionMemo]].
     */
-  private val hashedDocsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Any, String, String, Int), DataFrame]
+  private val hashedDocsCache =
+    new graft.ops.SessionMemo[(Any, String, String, Int)]
 
   private def hashedDocs(docs: DataFrame, idCol: String, textCol: String,
                          shingleK: Int): DataFrame = {
-    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+    val key = (docs.queryExecution.analyzed.canonicalized: Any,
                idCol, textCol, shingleK)
-    hashedDocsCache.computeIfAbsent(key, { _ =>
+    hashedDocsCache.getOrElseUpdate(docs.sparkSession, key) {
       // persist = a CollapseProject barrier: shingleHashesFromTokenHashes
       // references `th` k+1 times, and without the InMemoryRelation
       // boundary the optimizer inlines the tokenize+hash subtree into
@@ -92,7 +94,7 @@ object Dedup {
         .select(col("id"),
                 shingleHashesFromTokenHashes(col("th"), shingleK).as("sh"))
         .where(size(col("sh")) > 0)
-    })
+    }
   }
 
   /** Production guard for LSH banding: every member pair of one bucket

@@ -26,7 +26,9 @@ object PlanOne {
     // interleaved A/B in ONE JVM (spark.sql.adaptive.enabled and
     // shuffle.partitions are runtime confs): between-JVM variance on this
     // host is ±40%, far larger than the effects under test
-    val cfgs = Seq(("32", "true"), (parts, aqe))
+    // .distinct: with default env both legs are (32, true) — a degenerate
+    // "A/B" that would print one pooled series twice as a comparison
+    val cfgs = Seq(("32", "true"), (parts, aqe)).distinct
     val acc = scala.collection.mutable.Map[(String, (String, String)), List[Double]]()
       .withDefaultValue(Nil)
     for (rep <- 1 to 3; cfg <- cfgs; qn <- qns) {

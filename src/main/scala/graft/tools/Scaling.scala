@@ -120,11 +120,15 @@ object Scaling {
     // --- job 4: stateful CSR pipeline (salted pre-aggregation), noop
     // sink — keyed-state shuffle + per-key array merges, CPU-bound and
     // free of the disk commit path; best of 2 ---
+    // the csr job's historical default trigger is 64 files, but the FPT
+    // knob must reach it too — it is the job the per-trigger state-commit
+    // rationale most applies to
+    val csrFpt = sys.env.getOrElse("SPARK_GRAFT_FPT", "64")
     val csrSec = if (!jobs("csr")) -1.0 else (1 to 2).map { i =>
       import spark.implicits._
       val t3 = System.nanoTime()
       val q = graft.stream.CsrState.attachSalted(
-          spark.readStream.schema(schema).option("maxFilesPerTrigger", "64")
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", csrFpt)
             .parquet(inputDir).as[graft.schema.Turn], "1 hour")
         .toDF().writeStream.format("noop")
         .option("checkpointLocation", s"$workDir/ckpt_csr_$i")

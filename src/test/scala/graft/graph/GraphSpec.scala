@@ -23,6 +23,29 @@ class GraphSpec extends SparkSuite {
     assert(byNode("lonely") != byNode("a"))
   }
 
+  test("undirected frontier filter == full-state filter on random graphs") {
+    // the undirected BFS anti-joins only the previous two frontier deltas
+    // (hop distance changes by ≤1 across an undirected edge); the
+    // directed path anti-joins the full accumulated state. Running the
+    // directed kernel over the explicit symmetric closure must therefore
+    // give identical (tag, node, dist) sets — random graphs with odd
+    // cycles, hubs, and unreachable islands stress the ±1 bound.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 25 + rnd.nextInt(15)
+      val pairs = Seq.fill(2 * n)((s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2).distinct
+      val edges = pairs.toDF("src", "dst")
+      val seeds = Seq(("a", "n0"), ("b", "n1"), ("b", "n2")).toDF("tag", "node")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val viaFrontier = rows(Graph.multiSourceBfs(edges, seeds, directed = false))
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val viaFullState = rows(Graph.multiSourceBfs(sym, seeds, directed = true))
+      assert(viaFrontier == viaFullState, s"trial $trial: graphs disagree")
+    }
+  }
+
   test("multi-source BFS hop distances on a chain") {
     val edges = edgeDf(("n1", "n2"), ("n2", "n3"), ("n3", "n4"))
     val seeds = Seq(("t", "n1")).toDF("tag", "node")
