@@ -21,10 +21,20 @@ object GfaAnalysis {
   def computeStats(lines: DataFrame,
                    opts: GfaOptions = GfaOptions(directed = true))
                   (implicit spark: SparkSession): DataFrame = {
+    // stats runs four independent jobs (counts, components, degrees) over
+    // the same parsed node/edge relations — persist them so the text →
+    // fields → records parse happens once, not per job (Graph.stats is
+    // eager, so the unpersist below is safe)
     val nodes = GfaGraph.nodes(lines, opts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = GfaGraph.edges(lines, opts)
-    Graph.stats(nodes, edges, GfaGraph.pathCount(lines),
-                directed = opts.graphDirected)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Graph.stats(nodes, edges, GfaGraph.pathCount(lines),
+                    directed = opts.graphDirected)
+    finally {
+      nodes.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
   }
 
   /** A9 memory-footprint accounting + R-guard thresholds (builders.py:

@@ -107,6 +107,10 @@ object Graph {
         .select(col("node"), col("label"), col("label").as("old"))
         .union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"), max("old").as("old"))
+        // materialized once: the pointer-jump below is a self-join, and
+        // without a barrier BOTH sides recompute the edge join + aggregate
+        // (measured ~2× the round cost on a 1M-node graph)
+        .transform(ckpt)
       // step 2: pointer jumping — adopt the label of one's label node
       // (path compression): turns O(diameter) convergence into
       // O(log diameter), which long chain graphs require

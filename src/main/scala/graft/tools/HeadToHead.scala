@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.gfa.{GfaAnalysis, GfaGraph}
+
+/** Single-node throughput head-to-head against the reference on the SAME
+  * synthetic GFA file (default /tmp/bench_big.gfa — 1M segments, 1.5M
+  * links, 12 × 1000-segment paths; generator + reference timings recorded
+  * in BENCH.md). Runs the same two entry points the reference CLI exposes:
+  * compute_stats and genome_distance_matrix(min), default (directed)
+  * options = the reference's DiGraph defaults.
+  */
+object HeadToHead {
+  def main(args: Array[String]): Unit = {
+    val path = sys.env.getOrElse("GRAFT_GFA", "/tmp/bench_big.gfa")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val s: SparkSession = spark
+    // warmup: small slice of the same plan shapes
+    val drb1 = "/root/reference/tests/data/DRB1-3123_unsorted.gfa"
+    GfaAnalysis.computeStats(GfaGraph.readLines(spark, drb1)).collect()
+
+    val lines = GfaGraph.readLines(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lines.count()
+    if (sys.env.contains("GRAFT_PHASES")) {
+      // stats decomposition (dev): where do the seconds go?
+      import graft.gfa.GfaOptions
+      val opts = GfaOptions(directed = true)
+      def t[A](l: String)(f: => A): A = {
+        val s0 = System.nanoTime(); val r = f
+        println(f"[h2h] $l: ${(System.nanoTime() - s0) / 1e9}%.1f s"); r
+      }
+      val nodes = GfaGraph.nodes(lines, opts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = GfaGraph.edges(lines, opts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("nodes.count")(nodes.count())
+      t("edgeCount")(graft.graph.Graph.edgeCount(edges, directed = true))
+      t("components")(graft.graph.Graph.connectedComponents(
+        edges, Some(nodes)).agg(org.apache.spark.sql.functions.countDistinct("label")).collect())
+      t("maxDegree")(graft.graph.Graph.degrees(edges, directed = true)
+        .agg(org.apache.spark.sql.functions.max("degree")).collect())
+      t("pathCount")(GfaGraph.pathCount(lines))
+      nodes.unpersist(false); edges.unpersist(false)
+    }
+    val t0 = System.nanoTime()
+    val st = GfaAnalysis.computeStats(lines).collect()(0)
+    val tStats = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val m = GfaAnalysis.genomeDistanceMatrix(lines, "min").collect()
+    val tDm = (System.nanoTime() - t1) / 1e9
+    println(f"""{"metric":"head_to_head","file":"$path","cpus":$cpus,""" +
+      f""""stats_sec":$tStats%.1f,"dm_sec":$tDm%.1f,""" +
+      f""""nodes":${st.getLong(0)},"edges":${st.getLong(1)},""" +
+      f""""paths":${st.getLong(2)},"components":${st.getLong(3)},""" +
+      f""""max_degree":${st.getLong(4)},"dm_rows":${m.length}}""")
+    spark.stop()
+  }
+}
