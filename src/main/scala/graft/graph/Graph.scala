@@ -85,6 +85,15 @@ object Graph {
     val nodes = allNodes
       .map(_.select(col("node")))
       .getOrElse(und.select(col("src").as("node")).distinct())
+    // label tables are node-sized and constant-sized across rounds: when
+    // small, build-side-broadcast them in both per-round joins so the
+    // (much larger) persisted edge set never re-shuffles. The cap is
+    // deliberately tighter than the BFS frontier's: a PER-ROUND broadcast
+    // of a ~1M-row table costs a driver collect + hashmap build each
+    // round, which was measured to wash out the shuffle saving.
+    val bcastLabels = nodes.count() <= 200000L
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     // localCheckpoint RETURNS the truncated Dataset (side-effect-free on
     // the receiver) — always rebind, or lineage grows per round and the
     // discarded checkpoint blocks leak.
@@ -99,7 +108,7 @@ object Graph {
       // once), so convergence detection below needs no extra join —
       // the old per-round join-count job was pure fixed overhead.
       val viaNeighbors = und
-        .join(labels.withColumnRenamed("node", "dst_n"),
+        .join(maybeBcast(labels.withColumnRenamed("node", "dst_n")),
               col("dst") === col("dst_n"))
         .select(col("src").as("node"), col("label"),
                 lit(null).cast("string").as("old"))
@@ -115,7 +124,8 @@ object Graph {
       // (path compression): turns O(diameter) convergence into
       // O(log diameter), which long chain graphs require
       val jumped = relaxed.as("a")
-        .join(relaxed.select(col("node").as("l_node"), col("label").as("l_label")),
+        .join(maybeBcast(
+                relaxed.select(col("node").as("l_node"), col("label").as("l_label"))),
               col("a.label") === col("l_node"), "left")
         .select(col("a.node").as("node"),
                 least(col("a.label"), coalesce(col("l_label"), col("a.label")))
