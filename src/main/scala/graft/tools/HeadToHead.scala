@@ -12,8 +12,41 @@ import graft.gfa.{GfaAnalysis, GfaGraph}
   * options = the reference's DiGraph defaults.
   */
 object HeadToHead {
+  /** Deterministic generator for the head-to-head input (no RNG): N
+    * segments, a chain plus multiplicative-hash shortcut links
+    * (small-world diameter), P paths of `plen` spread-out segments.
+    * Reference side runs the same file via
+    * `sys.path.insert(0,'/root/reference'); from gfa2network.analysis
+    * import compute_stats, genome_distance_matrix`.
+    */
+  def writeBigGfa(path: String, n: Int = 1000000, p: Int = 12,
+                  plen: Int = 1000): Unit = {
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(path), 1 << 20)
+    try {
+      var i = 0
+      while (i < n) { w.write(s"S\ts$i\tACGT\n"); i += 1 }
+      i = 0
+      while (i < n - 1) { w.write(s"L\ts$i\t+\ts${i + 1}\t+\t0M\n"); i += 1 }
+      i = 0
+      while (i < n) {
+        val j = ((i.toLong * 2654435761L) % n).toInt
+        if (j != i) w.write(s"L\ts$i\t+\ts$j\t+\t0M\n")
+        i += 2
+      }
+      var pp = 0
+      while (pp < p) {
+        val segs = (0 until plen)
+          .map(k => s"s${(pp * 101 + 997L * k) % n}+").mkString(",")
+        w.write(s"P\tpath$pp\t$segs\t*\n")
+        pp += 1
+      }
+    } finally w.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val path = sys.env.getOrElse("GRAFT_GFA", "/tmp/bench_big.gfa")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      writeBigGfa(path)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
