@@ -72,26 +72,85 @@ object Graph {
     * per round so plans stay bounded. Nodes with no edges count as
     * singleton components (pass `allNodes` to include isolated nodes).
     */
+  /** Node-count threshold for the components fast path: at or below it
+    * the loop runs directly on node strings with the label table
+    * broadcast each round (dimension-sized graphs skip the id-indexing
+    * pass entirely); above it, labels are dense lexicographic-rank longs
+    * — per-round shuffles then carry 16-byte rows and compare longs.
+    */
+  val CcSmallGraphNodes: Long = 200000L
+
   def connectedComponents(edges: DataFrame, allNodes: Option[DataFrame] = None,
-                          maxIter: Int = 50): DataFrame = {
-    // persist the adjacency PRE-PARTITIONED ON ITS JOIN KEY (dst): the
-    // cached InMemoryRelation reports that hash partitioning, so every
-    // round's join shuffles only the label table — without this, the
-    // full edge set re-shuffles each round (measured as the dominant
-    // per-round cost on wide graphs). persist also stops each round from
-    // recomputing the upstream derivation.
-    val und = undirected(edges).repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = allNodes
+                          maxIter: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    val undStr = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesStr = allNodes
       .map(_.select(col("node")))
-      .getOrElse(und.select(col("src").as("node")).distinct())
-    // label tables are node-sized and constant-sized across rounds: when
-    // small, build-side-broadcast them in both per-round joins so the
-    // (much larger) persisted edge set never re-shuffles. The cap is
-    // deliberately tighter than the BFS frontier's: a PER-ROUND broadcast
-    // of a ~1M-row table costs a driver collect + hashmap build each
-    // round, which was measured to wash out the shuffle saving.
-    val bcastLabels = nodes.count() <= 200000L
+      .getOrElse(undStr.select(col("src").as("node")).distinct())
+    val allStr = nodesStr
+      .union(undStr.select(col("src").as("node"))).distinct()
+    val nNodes = allStr.count()
+    if (nNodes <= CcSmallGraphNodes) {
+      // SMALL-GRAPH PATH: string labels, per-round broadcast of the
+      // node-sized label table (the edge set never re-shuffles). A
+      // per-round broadcast of a ~1M-row table was measured to cost more
+      // (driver collect + hashmap build each round) than it saves, hence
+      // the cap.
+      val r = ccLoop(undStr, allStr, bcastLabels = true, maxIter)
+      undStr.unpersist(blocking = false)
+      r
+    } else {
+      // LARGE-GRAPH PATH: the loop runs on DENSE LONG IDS — per-round
+      // shuffles carry 16-byte rows instead of string pairs. The ids are
+      // the LEXICOGRAPHIC RANKS of the node strings: convergence round
+      // count is sensitive to the label ordering (measured: arbitrary
+      // hash-order ids crawled 60+ rounds on inputs where rank ids
+      // converge in ~14, exactly like the string labels whose comparisons
+      // they reproduce), and the final representative is re-derived as
+      // the min node STRING per component (the reference's semantics)
+      // regardless of which internal label won.
+      val idMap = spark.createDataFrame(
+        allStr.orderBy("node").rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), i)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val und = undStr
+        .join(idMap.select(col("node").as("src"), col("id").as("src_id")), "src")
+        .join(idMap.select(col("node").as("dst"), col("id").as("dst_id")), "dst")
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      und.count()
+      undStr.unpersist(blocking = false)
+      try {
+        val labels = ccLoop(und, idMap.select(col("id").as("node")),
+                            bcastLabels = false, maxIter)
+        // map internal ids back to node strings and re-derive each
+        // component's representative as its minimum node string
+        val out = labels
+          .join(idMap.select(col("id"), col("node").as("node_str")),
+                labels("node") === col("id"))
+          .select(col("node_str").as("node"), col("label").as("ilabel"))
+        val rep = out.groupBy("ilabel").agg(min("node").as("label"))
+        out.join(rep, "ilabel").select(col("node"), col("label"))
+          .transform(ckpt)
+      } finally {
+        und.unpersist(blocking = false)
+        idMap.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** The min-label-propagation + pointer-jumping loop, label-type
+    * agnostic (strings on the small path, rank longs on the large one).
+    */
+  private def ccLoop(und: DataFrame, nodes: DataFrame, bcastLabels: Boolean,
+                     maxIter: Int): DataFrame = {
+    val labelType = nodes.schema("node").dataType.sql
     def maybeBcast(df: DataFrame): DataFrame =
       if (bcastLabels) broadcast(df) else df
     // localCheckpoint RETURNS the truncated Dataset (side-effect-free on
@@ -111,7 +170,7 @@ object Graph {
         .join(maybeBcast(labels.withColumnRenamed("node", "dst_n")),
               col("dst") === col("dst_n"))
         .select(col("src").as("node"), col("label"),
-                lit(null).cast("string").as("old"))
+                lit(null).cast(labelType).as("old"))
       val relaxed = labels
         .select(col("node"), col("label"), col("label").as("old"))
         .union(viaNeighbors)
@@ -136,8 +195,9 @@ object Graph {
       changed = next.where(col("label") =!= col("old")).count()
       labels = next.select("node", "label")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        println(s"[cc] round $iter changed=$changed")
     }
-    und.unpersist(blocking = false)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
