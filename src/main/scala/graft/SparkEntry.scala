@@ -71,55 +71,68 @@ object SparkEntry {
     // oracle, so a regression in incremental planning, watermark
     // advancement, or session-state handling breaks the hash match even
     // while the batch twin (q_sessions_sw) stays correct — the batch
-    // plans never execute here.
+    // plans never execute here. The fed subset is [[streamFeed]]-bounded
+    // (oracle WHERE in lockstep) — cost independent of sf.
     "q_stream_sessions" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val rows = T(s, dir)
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .as[graft.schema.Turn]
-        .collect()                    // MemoryStream is driver-fed by design
-        .sortBy(_.ts.getTime)         // event-time order: no late batches
+      val rows = streamFeed(s, dir)
       if (rows.isEmpty)
         // degrade like every batch query does on an empty turns table
-        // (rows.last below would otherwise throw before the stream starts)
+        // (rows.last in runStream would otherwise throw pre-start)
         Sessions.bySessionWindow(T(s, dir), "30 minutes")
           .select("conv_id", "n_turns", "start_ts", "end_ts").limit(0)
-      else {
-        val sentinel = graft.schema.Turn("zz_watermark_sentinel", 0, "user",
-          "s", None,
-          new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000))
-        val ms = MemoryStream[graft.schema.Turn](
-          implicitly[org.apache.spark.sql.Encoder[graft.schema.Turn]],
-          s.sqlContext)
-        val name = s"q_stream_sessions_${System.nanoTime()}"
-        // streaming state partitions are fixed at query start from
-        // spark.sql.shuffle.partitions; a driver-fed MemoryStream carries
-        // megabytes, and every partition costs a state-store commit (file
-        // + fsync) PER MICRO-BATCH — 32 partitions × 3 triggers was ~10 s
-        // of pure commit overhead. Scope the session down for this query
-        // and restore after (a real deployment sizes state partitions to
-        // the keyed-state volume, not to the batch-analytics core count).
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try graft.stream.CepQueries
-            .sessionStats(ms.toDF(), watermark = "10 minutes", gap = "30 minutes")
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
-          val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
-          ms.addData(b1); q.processAllAvailable()
-          ms.addData(b2); q.processAllAvailable()
-          ms.addData(Seq(sentinel)); q.processAllAvailable()
-        } finally q.stop()
-        s.table(name)
-          .where(col("conv_id") =!= "zz_watermark_sentinel")
+      else
+        runStream(s, rows, "q_stream_sessions", nSentinels = 1) { src =>
+          graft.stream.CepQueries
+            .sessionStats(src, watermark = "10 minutes", gap = "30 minutes")
+        }
           .select(col("conv_id"), col("n_turns"),
                   col("start_ts").cast("timestamp_ntz").as("start_ts"),
                   col("end_ts").cast("timestamp_ntz").as("end_ts"))
-      }
+    }),
+    // T5/J6 under the driver oracle: the stream-stream join's ACTUAL
+    // micro-batch path — both watermarked sides buffered in join state
+    // across triggers, matches emitted incrementally, state evicted by
+    // the time-range bound. Oracle = the q_pairing SQL restricted to the
+    // same fed subset with the same 2 h latency bound.
+    "q_stream_pairing" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        Pairing.userAssistant(T(s, dir)).limit(0)
+      else
+        runStream(s, rows, "q_stream_pairing", nSentinels = 1) { src =>
+          graft.stream.CepQueries.userAssistantJoin(
+            src, watermark = "10 minutes", maxWait = "2 hours")
+        }
+          .select(col("conv_id"), col("user_idx"), col("asst_idx"),
+                  col("latency_us"))
+    }),
+    // T6 under the driver oracle: flatMapGroupsWithState keyed CSR state
+    // on the ACTUAL incremental path — per-conversation state merged
+    // across triggers, finalized by EventTimeTimeout once the sentinel
+    // advances the watermark past every conversation's idle horizon
+    // (timeouts fire a batch AFTER the watermark advances → two
+    // sentinels). Oracle = the q_csr_agg SQL over the same fed subset.
+    // idleTimeout must exceed a conversation's 24 h day-span PLUS the
+    // watermark jump across the two-batch median split (months of event
+    // time) — otherwise a boundary-straddling conversation times out
+    // mid-stream and emits TWO partial finals; 48 h idle + 14 d sentinel
+    // gaps guarantee exactly one final per conversation.
+    "q_stream_csr" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        queries("q_csr_agg")(s, dir).limit(0)
+      else
+        runStream(s, rows, "q_stream_csr", nSentinels = 2,
+                  sentinelGapMs = 14L * 24 * 3600 * 1000) { src =>
+          import s.implicits._
+          graft.stream.CsrState.attach(
+              src.withWatermark("ts", "10 minutes").as[graft.schema.Turn],
+              idleTimeout = "48 hours")
+            .toDF()
+        }
+          .where(col("is_final"))
+          .select(col("conv_id"), col("n_turns"), col("n_edges"),
+                  col("min_idx"), col("max_idx"), col("contiguous"))
     }),
     "q_turn_rate" -> ((s, dir) => Rates.tumblingPerTool(T(s, dir), "1 hour")),
     "q_role_cube" -> ((s, dir) => Rates.roleToolCube(T(s, dir))),
@@ -424,12 +437,91 @@ object SparkEntry {
 
   private def restrictedConvText(s: SparkSession, dir: String): DataFrame =
     convTextCache.getOrElseUpdate(s, dir) {
-      graft.ops.Overlap.convText(
-          T(s, dir).where(col("conv_id").startsWith("c0d") ||
-                          col("conv_id").startsWith("c1d")),
-          OverlapDfCap)
+      val base = T(s, dir).where(col("conv_id").startsWith("c0d") ||
+                                 col("conv_id").startsWith("c1d"))
+      val ct = graft.ops.Overlap.convText(base, OverlapDfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // no-silent-caps: surface the df-cap's drops once per (session, dir)
+      // — every query derived from this base silently excludes these
+      // texts from edge building, so their count must be visible. The
+      // memo bounds this to one tiny aggregation per session.
+      val nDropped = graft.ops.Overlap.droppedTexts(base, OverlapDfCap).count()
+      if (nDropped > 0)
+        System.err.println(
+          s"WARN graft.SparkEntry: overlap df-cap ($OverlapDfCap) dropped " +
+          s"$nDropped shared text(s) from edge building for $dir — " +
+          "see graft.ops.Overlap.droppedTexts for the list")
+      ct
     }
+
+  /** Conv-id pattern of the driver-fed streaming subset: single-digit
+    * users — 10 users, ~700 turns at EVERY shipped sf (volume grows with
+    * the day span, never the table), so the driver feed stays kilobytes
+    * at any scale factor. MemoryStream is driver-fed BY DESIGN; the
+    * production path consumes `readStream` directly
+    * ([[graft.stream.CepQueries]], [[graft.stream.CsrState]]) and never
+    * collects — this bound is a harness contract, and every streaming
+    * oracle restricts its turns base in lockstep ([[streamFeedWhere]]).
+    */
+  private val StreamFeedPattern = "^c[0-9]d"
+  private val StreamSentinelConv = "zz_watermark_sentinel"
+
+  /** DuckDB lockstep restriction for the streaming oracles. */
+  private val streamFeedWhere =
+    "WHERE regexp_matches(conv_id, '^c[0-9]d') AND ts IS NOT NULL"
+
+  /** The bounded driver feed, event-time sorted (no late batches). Rows
+    * with null ts are excluded before the sort (none exist in the driver
+    * data; a null event time would NPE here and is undroppable-late by
+    * definition) — the oracle WHERE carries the same predicate.
+    */
+  private def streamFeed(s: SparkSession, dir: String): Array[graft.schema.Turn] = {
+    import s.implicits._
+    T(s, dir)
+      .where(col("conv_id").rlike(StreamFeedPattern) && col("ts").isNotNull)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .as[graft.schema.Turn]
+      .collect()
+      .sortBy(_.ts.getTime)
+  }
+
+  /** Harness shared by the three driver-oracled streaming queries: feeds
+    * `rows` through a MemoryStream in two halves, then `nSentinels`
+    * far-future sentinel turns (+48 h apart) that advance the watermark
+    * so every real window / state entry finalizes — state TIMEOUTS fire
+    * one batch AFTER the watermark advances, so timeout-based operators
+    * pass nSentinels = 2. The built streaming DataFrame runs into an
+    * append-mode memory sink; returns the sink table minus sentinel rows.
+    * State partitions are auto-sized from the fed volume
+    * ([[graft.stream.StatePartitions]]); minParts = 2 keeps
+    * cross-partition state handling exercised at negligible commit cost.
+    */
+  private def runStream(s: SparkSession, rows: Array[graft.schema.Turn],
+                        tag: String, nSentinels: Int,
+                        sentinelGapMs: Long = 48L * 3600 * 1000)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[graft.schema.Turn](
+      org.apache.spark.sql.Encoders.product[graft.schema.Turn], s.sqlContext)
+    val name = s"${tag}_${System.nanoTime()}"
+    val parts = graft.stream.StatePartitions.forVolume(rows.length, minParts = 2)
+    val q = graft.stream.StatePartitions.scoped(s, parts) {
+      build(ms.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
+    try {
+      val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      (1 to nSentinels).foreach { i =>
+        ms.addData(Seq(graft.schema.Turn(StreamSentinelConv, 0, "user", "s",
+          None,
+          new java.sql.Timestamp(rows.last.ts.getTime + i * sentinelGapMs))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name).where(col("conv_id") =!= StreamSentinelConv)
+  }
 
   // ------------------------------------------------------------- oracles
 
@@ -472,9 +564,33 @@ object SparkEntry {
         |FROM turns""".stripMargin),
     "q_sessions" -> tsql(Sessions.byGapOracle(1800)),
     "q_sessions_sw" -> tsql(Sessions.sessionWindowOracle(1800)),
-    // identical islands oracle — but the Spark side executes the actual
-    // micro-batch streaming path, not the batch plan
-    "q_stream_sessions" -> tsql(Sessions.sessionWindowOracle(1800)),
+    // identical islands oracle over the lockstep-restricted feed — but
+    // the Spark side executes the actual micro-batch streaming path, not
+    // the batch plan
+    "q_stream_sessions" ->
+      tsql(Sessions.sessionWindowOracle(1800, streamFeedWhere)),
+    // q_pairing's relation, restricted to the fed subset and bounded by
+    // userAssistantJoin's 2 h time-range condition — the Spark side runs
+    // the actual stream-stream join with watermarked state
+    "q_stream_pairing" -> tsql(
+      s"""SELECT u.conv_id, u.turn_idx AS user_idx, a.turn_idx AS asst_idx,
+         |       date_diff('microsecond', u.ts, a.ts) AS latency_us
+         |FROM turns u JOIN turns a
+         |  ON u.conv_id = a.conv_id AND a.turn_idx = u.turn_idx + 1
+         |WHERE u.role = 'user' AND a.role = 'assistant'
+         |  AND regexp_matches(u.conv_id, '^c[0-9]d')
+         |  AND u.ts IS NOT NULL AND a.ts IS NOT NULL
+         |  AND date_diff('microsecond', u.ts, a.ts)
+         |      BETWEEN 0 AND ${2L * 3600 * 1000000}""".stripMargin),
+    // q_csr_agg's relation over the fed subset — the Spark side runs the
+    // actual flatMapGroupsWithState path and emits these rows only via
+    // EventTimeTimeout finalization
+    "q_stream_csr" -> tsql(
+      s"""SELECT conv_id, CAST(COUNT(*) AS INTEGER) AS n_turns,
+         |       CAST(COUNT(*) - 1 AS INTEGER) AS n_edges,
+         |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
+         |       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS contiguous
+         |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),
     "q_turn_rate" -> tsql(
       """SELECT date_trunc('hour', ts) AS window_start, tool,
         |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs

@@ -145,16 +145,27 @@ object GfaExport {
       throw new IllegalStateException(
         s"XML export of $nEdges edges exceeds ${10L * maxNodes}; " +
         "use parquet/JSON exports for large graphs")
+    // duplicate S records for one id are pathological; pick the attribute
+    // row DETERMINISTICALLY — min by (length, sequence, canonical tag
+    // text) — rather than dropDuplicates' arbitrary partition-order row,
+    // so repeated exports of the same (malformed) input are byte-identical
+    val tagText = array_join(
+      transform(array_sort(map_keys(col("tags"))),
+                k => concat(k, lit(":"), element_at(col("tags"), k))),
+      ";")
     val segAttrs = GfaParse.segments(lines)
       .select(col("id").as("seg_id"), col("length"), col("sequence"),
               col("tags"))
+      .groupBy("seg_id")
+      .agg(min_by(struct(col("length"), col("sequence"), col("tags")),
+                  struct(col("length"), col("sequence"), tagText)).as("a"))
+      .select(col("seg_id"), col("a.length").as("length"),
+              col("a.sequence").as("sequence"), col("a.tags").as("tags"))
     val segKey =
       if (opts.bidirected) regexp_replace(col("node"), ":[+-]$", "")
       else col("node")
     val nodes = nodeDf.withColumn("seg_id", segKey)
       .join(segAttrs, Seq("seg_id"), "left")
-      // duplicate S records for one id are pathological; one row per node
-      .dropDuplicates("node")
       .select("node", "length", "sequence", "tags")
       .orderBy("node").collect().map { r =>
         XNode(r.getString(0),

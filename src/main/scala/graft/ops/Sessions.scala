@@ -45,18 +45,20 @@ object Sessions {
   /** DuckDB islands CTEs shared by the [[byGap]] and [[bySessionWindow]]
     * oracles (appended after the canonical `turns` CTE).
     */
-  def islandsCte(gapSec: Long, strictBoundary: Boolean = false): String = {
+  def islandsCte(gapSec: Long, strictBoundary: Boolean = false,
+                 where: String = ""): String = {
     // session_window(ts, gap) spans [ts, ts+gap): an event exactly `gap`
     // later falls outside and opens a NEW session (>=); the byGap islands
     // op keeps an exact-gap event in the SAME session (>). The oracle must
-    // match the op it verifies.
+    // match the op it verifies. `where` (a full "WHERE ..." clause or "")
+    // restricts the turns base in lockstep with a restricted Spark input.
     val cmp = if (strictBoundary) ">=" else ">"
     s""", flagged AS (
        |  SELECT conv_id, turn_idx, ts,
        |         CASE WHEN LAG(ts) OVER w IS NULL
        |                OR date_diff('microsecond', LAG(ts) OVER w, ts) $cmp ${gapSec * 1000000L}
        |              THEN 1 ELSE 0 END AS new_session
-       |  FROM turns
+       |  FROM turns $where
        |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
        |), numbered_sessions AS (
        |  SELECT conv_id, turn_idx, ts,
@@ -78,8 +80,8 @@ object Sessions {
   /** DuckDB oracle for [[bySessionWindow]] (same islands, projection
     * matching the session_window aggregate's columns).
     */
-  def sessionWindowOracle(gapSec: Long): String =
-    islandsCte(gapSec, strictBoundary = true) +
+  def sessionWindowOracle(gapSec: Long, where: String = ""): String =
+    islandsCte(gapSec, strictBoundary = true, where) +
       """
         |SELECT conv_id, COUNT(*) AS n_turns, MIN(ts) AS start_ts, MAX(ts) AS end_ts
         |FROM numbered_sessions GROUP BY conv_id, session_idx""".stripMargin

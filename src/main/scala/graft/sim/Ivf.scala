@@ -110,6 +110,33 @@ object Ivf {
     assign(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
       .withColumnRenamed("id", "nbr_id")
 
+  /** Per-query probe set: the (query_id, cluster_id) pairs the search
+    * will rerank exactly — base `nprobe` nearest centroids plus, when
+    * `nprobeMax` > `nprobe`, every centroid within `escalateMargin`
+    * cosine of the query's best centroid (capped at `nprobeMax`). Input
+    * `qv` carries (query_id, v). Exposed so callers/evidence tools can
+    * measure the probed-candidate volume — the scale-honest cost metric.
+    */
+  def probeAssignments(qv: DataFrame, centroids: DataFrame, nprobe: Int,
+                       nprobeMax: Int = -1,
+                       escalateMargin: Double = 0.05): DataFrame = {
+    val npMax = math.max(nprobe, nprobeMax)
+    qv.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cluster_id"),
+              cos(col("v"), col("centroid")).as("csim"))
+      .groupBy("query_id")
+      .agg(expr(
+        s"slice(array_sort(collect_list(struct(-csim, cluster_id))), 1, $npMax)")
+        .as("top"))
+      // top is ascending in -csim; col1 = -csim, so (col1 - top[0].col1)
+      // is the query's similarity margin to its best centroid
+      .select(col("query_id"), col("top")(0).getField("col1").as("best_neg"),
+              posexplode(col("top")).as(Seq("pos", "e")))
+      .where(col("pos") < nprobe ||
+             col("e.col1") - col("best_neg") <= escalateMargin)
+      .select(col("query_id"), col("e.cluster_id").as("cluster_id"))
+  }
+
   /** Convenience overload: trains (on the sample) and searches in one
     * call — the driver-contract shape. The timed cost of a query batch
     * through here INCLUDES index training; amortized deployments use
@@ -118,11 +145,13 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nClusters: Int = 16, nprobe: Int = 4, iters: Int = 3,
-              simDecimals: Int = -1, sampleFactor: Int = 100): DataFrame =
+              simDecimals: Int = -1, sampleFactor: Int = 100,
+              nprobeMax: Int = -1, escalateMargin: Double = 0.05): DataFrame =
     ivfTopKWith(corpus, queries,
                 trainCentroids(corpus, idCol, vecCol, nClusters, iters,
                                sampleFactor),
-                k, idCol, vecCol, nprobe, simDecimals)
+                k, idCol, vecCol, nprobe, simDecimals, nprobeMax,
+                escalateMargin)
 
   /** IVF approximate top-k against a PRE-TRAINED centroid table: probe
     * the `nprobe` nearest inverted lists per query, exact cosine rerank
@@ -130,25 +159,31 @@ object Ivf {
     * (only keys×k rows cross the final shuffle). `centroids` comes from
     * [[trainCentroids]] — an already-materialized (localCheckpoint'd)
     * nClusters-row table, so no extra persist is taken here.
+    *
+    * Recall adaptivity (`nprobeMax` > `nprobe`): beyond the base probes,
+    * a query ALSO probes every centroid whose similarity is within
+    * `escalateMargin` of its best centroid, capped at `nprobeMax`. A
+    * query deep inside one cluster sees a wide margin to the runner-up
+    * centroids and stays at `nprobe` probes; a boundary query — the case
+    * where fixed-nprobe IVF loses neighbors, and on a near-uniform
+    * corpus (IVF's structural worst case) MOST queries — escalates. The
+    * decision is per-query, rides the existing centroid cross-join, and
+    * costs nothing when the corpus is genuinely clustered.
     */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   centroids: DataFrame, k: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  nprobe: Int = 4, simDecimals: Int = -1): DataFrame = {
+                  nprobe: Int = 4, simDecimals: Int = -1,
+                  nprobeMax: Int = -1,
+                  escalateMargin: Double = 0.05): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val lists = invertedLists(corpus, centroids, idCol, vecCol)
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(vec_dot(col("q_vec"), col("q_vec"))))
-    val probes = qv.select(col("query_id"), col("q_vec").as("v"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("cluster_id"),
-              cos(col("v"), col("centroid")).as("csim"))
-      .groupBy("query_id")
-      .agg(expr(
-        s"slice(array_sort(collect_list(struct(-csim, cluster_id))), 1, $nprobe)")
-        .as("top"))
-      .select(col("query_id"), explode(col("top.cluster_id")).as("cluster_id"))
+    val probes = probeAssignments(
+      qv.select(col("query_id"), col("q_vec").as("v")), centroids, nprobe,
+      nprobeMax, escalateMargin)
     val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", sqrt(vec_dot(col("nbr_vec"), col("nbr_vec"))))
       .join(lists, Seq("nbr_id"))

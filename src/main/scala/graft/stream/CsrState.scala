@@ -44,15 +44,20 @@ object CsrState {
     * consecutive j = i+1 both present (the transcript Link rule, W3).
     */
   def csrOf(seen: Array[Int]): (Array[Int], Array[Int]) = {
-    val present = seen.toSet
-    val indices = seen.filter(i => present.contains(i + 1)).map(_ + 1)
+    // `seen` is sorted and distinct (the state invariant), so "i+1 is
+    // present" is exactly "the next element equals i+1" — no hash set
+    val idx = new scala.collection.mutable.ArrayBuilder.ofInt
     val indptr = new Array[Int](seen.length + 1)
     var k = 0
-    seen.zipWithIndex.foreach { case (i, row) =>
-      if (present.contains(i + 1)) k += 1
+    var row = 0
+    while (row < seen.length) {
+      if (row + 1 < seen.length && seen(row + 1) == seen(row) + 1) {
+        k += 1; idx += seen(row) + 1
+      }
       indptr(row + 1) = k
+      row += 1
     }
-    (indptr, indices)
+    (indptr, idx.result())
   }
 
   /** One micro-batch's pre-aggregated slice of a conversation: the
@@ -84,18 +89,44 @@ object CsrState {
     } else {
       val prev = state.getOption.getOrElse(ConvState(Array.empty, 0L, false))
       val b = new scala.collection.mutable.ArrayBuilder.ofInt
-      b ++= prev.seen
       var maxTs = prev.lastTsMs
       incoming.foreach { case (i, ts) =>
         b += i
         if (ts > maxTs) maxTs = ts
       }
-      val seen = b.result().distinct.sorted
+      // sort/dedup the (small) per-batch delta only, then linear-merge it
+      // into the already-sorted previous state: O(d log d + n) per batch
+      // instead of re-sorting the full union — for a mega-conversation
+      // receiving a trickle of turns per trigger, the state task's hot
+      // loop is the merge, not an O(n log n) resort of everything seen.
+      val delta = b.result()
+      java.util.Arrays.sort(delta)
+      val seen = mergeSortedDistinct(prev.seen, delta)
       val next = ConvState(seen, maxTs, finalized = false)
       state.update(next)
       state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
       Iterator.single(summarize(convId, next, isFinal = false))
     }
+  }
+
+  /** Merge a sorted-distinct array with a sorted (possibly duplicated)
+    * delta into one sorted-distinct array — the state-update kernel.
+    */
+  private[stream] def mergeSortedDistinct(prev: Array[Int],
+                                          delta: Array[Int]): Array[Int] = {
+    if (delta.isEmpty) return prev
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(prev.length + delta.length)
+    var i = 0; var j = 0; var last = Int.MinValue; var first = true
+    def emit(v: Int): Unit =
+      if (first || v != last) { out += v; last = v; first = false }
+    while (i < prev.length && j < delta.length) {
+      if (prev(i) <= delta(j)) { emit(prev(i)); i += 1 }
+      else { emit(delta(j)); j += 1 }
+    }
+    while (i < prev.length) { emit(prev(i)); i += 1 }
+    while (j < delta.length) { emit(delta(j)); j += 1 }
+    out.result()
   }
 
   private def summarize(convId: String, s: ConvState,

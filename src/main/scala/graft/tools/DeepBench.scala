@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * state-handling cost.
   */
 object DeepBench {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = println(run())
+
+  /** Run the A/B and return the one-line JSON result (spark session is
+    * created and stopped inside — callable from [[Evidence]]).
+    */
+  def run(): String = {
     val L = sys.env.getOrElse("GRAFT_LAYERS", "60").toInt
     val W = sys.env.getOrElse("GRAFT_WIDTH", "20000").toInt
     val spark = SparkSession.builder().master("local[32]")
@@ -52,10 +57,11 @@ object DeepBench {
     val (tFull, n2, s2) = run(directed = true)
     require(n1 == n2 && s1 == s2,
       s"frontier/full disagree: ($n1,$s1) vs ($n2,$s2)")
-    println(f"""{"metric":"deep_bfs","layers":$L,"width":$W,""" +
+    val line = f"""{"metric":"deep_bfs","layers":$L,"width":$W,""" +
       f""""state_rows":$n1,"frontier_filter_sec":$tFrontier%.2f,""" +
       f""""full_state_filter_sec":$tFull%.2f,""" +
-      f""""speedup":${tFull / tFrontier}%.2f}""")
+      f""""speedup":${tFull / tFrontier}%.2f}"""
     spark.stop()
+    line
   }
 }

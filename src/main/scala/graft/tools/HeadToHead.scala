@@ -43,10 +43,18 @@ object HeadToHead {
     } finally w.close()
   }
 
-  def main(args: Array[String]): Unit = {
-    val path = sys.env.getOrElse("GRAFT_GFA", "/tmp/bench_big.gfa")
+  def main(args: Array[String]): Unit = println(run())
+
+  /** Run the graft side and return the one-line JSON result (spark
+    * session created and stopped inside — callable from [[Evidence]]).
+    * `n` > 0 generates (if absent) and uses an n-segment input at
+    * `<GRAFT_GFA>` instead of the default 1M-segment file.
+    */
+  def run(n: Int = -1): String = {
+    val path = sys.env.getOrElse("GRAFT_GFA",
+      if (n > 0) s"/tmp/bench_big_$n.gfa" else "/tmp/bench_big.gfa")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      writeBigGfa(path)
+      if (n > 0) writeBigGfa(path, n) else writeBigGfa(path)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,11 +97,12 @@ object HeadToHead {
     val t1 = System.nanoTime()
     val m = GfaAnalysis.genomeDistanceMatrix(lines, "min").collect()
     val tDm = (System.nanoTime() - t1) / 1e9
-    println(f"""{"metric":"head_to_head","file":"$path","cpus":$cpus,""" +
+    val line = f"""{"metric":"head_to_head","file":"$path","cpus":$cpus,""" +
       f""""stats_sec":$tStats%.1f,"dm_sec":$tDm%.1f,""" +
       f""""nodes":${st.getLong(0)},"edges":${st.getLong(1)},""" +
       f""""paths":${st.getLong(2)},"components":${st.getLong(3)},""" +
-      f""""max_degree":${st.getLong(4)},"dm_rows":${m.length}}""")
+      f""""max_degree":${st.getLong(4)},"dm_rows":${m.length}}"""
     spark.stop()
+    line
   }
 }

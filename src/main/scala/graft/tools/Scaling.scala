@@ -85,16 +85,29 @@ object Scaling {
     }
 
     // --- job 2: session-window CEP query latency (best of 2 — the host
-    // VM is noisy-neighbor-prone; min-of-N is the standard control) ---
+    // VM is noisy-neighbor-prone; min-of-N is the standard control).
+    // State partitions are auto-sized from the per-trigger volume
+    // (totalRows × fpt / 256 input files) instead of inheriting the
+    // analytics core count: state-store commits are per partition per
+    // trigger, so partitions track keyed-state volume
+    // ([[graft.stream.StatePartitions]]); SPARK_GRAFT_STATE_PARTS
+    // overrides for A/B runs, 0 = legacy (= cpus) behavior.
+    val rowsPerTrigger = totalRows * fpt.toLong / 256
+    val stateParts = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
+      .getOrElse(graft.stream.StatePartitions.forVolume(
+        rowsPerTrigger, maxParts = cpus))
     val sessSec = if (!jobs("session")) -1.0 else (1 to 2).map { i =>
       val t1 = System.nanoTime()
-      val sessQ = CepQueries.sessionStats(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", fpt)
-          .parquet(inputDir),
-        watermark = "10 minutes", gap = "30 minutes")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$workDir/ckpt2_$i")
-        .format("memory").queryName(s"sess$i").start()
+      val sessQ = graft.stream.StatePartitions.scoped(spark,
+        if (stateParts > 0) stateParts else cpus) {
+        CepQueries.sessionStats(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", fpt)
+            .parquet(inputDir),
+          watermark = "10 minutes", gap = "30 minutes")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$workDir/ckpt2_$i")
+          .format("memory").queryName(s"sess$i").start()
+      }
       sessQ.processAllAvailable(); sessQ.stop()
       (System.nanoTime() - t1) / 1e9
     }.min
