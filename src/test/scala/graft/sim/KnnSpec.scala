@@ -93,6 +93,65 @@ class KnnSpec extends SparkSuite {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 
+  // near-uniform corpus — IVF's structural worst case: vectors spread
+  // over the sphere, so fixed-nprobe recall is bounded by the probe
+  // fraction. 300 pseudo-random 12-dim vectors, deterministic mix hash.
+  private lazy val uniformVecs = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 300).map { i =>
+      val v = Array.tabulate(12)(d =>
+        ((mix(i.toLong * 12 + d) % 2000) / 1000.0f) - 1.0f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF adaptive probing: recall ≥ 0.8 on a NEAR-UNIFORM corpus at ≤ half of brute's candidate volume") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val brute = pairs(Knn.bruteTopK(uniformVecs, uniformVecs, 5,
+                                    simDecimals = 6))
+    val cents = Ivf.trainCentroids(uniformVecs, nClusters = 16, iters = 2,
+                                   sampleFactor = 12)
+    val ivf = pairs(Ivf.ivfTopKWith(uniformVecs, uniformVecs, cents, 5,
+      nprobe = 4, simDecimals = 6, nprobeMax = 7, escalateMargin = 0.35))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"adaptive IVF recall $recall on uniform corpus")
+    // candidate volume = probed cluster sizes summed over queries,
+    // vs brute's n² — the scale-honest cost metric (the 7/16 probe cap
+    // bounds it near 0.44 + cluster-size skew)
+    val sizes = Ivf.invertedLists(uniformVecs, cents)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val cand = Ivf.probeAssignments(
+        uniformVecs.select(col("vec_id").as("query_id"),
+                           col("embedding").as("v")),
+        cents, 4, 7, 0.35)
+      .join(sizes, Seq("cluster_id"))
+      .agg(sum("sz")).head().getLong(0).toDouble
+    val frac = cand / (300.0 * 300.0)
+    assert(frac <= 0.5, s"adaptive IVF candidate fraction $frac")
+  }
+
+  test("IVF adaptive probing stays at base nprobe on CLUSTERED data") {
+    // one centroid per (orthogonal) true cluster → the runner-up
+    // centroid is ~0.0 cosine away → escalation never fires: the
+    // adaptivity costs nothing when structure exists. (With MORE
+    // centroids than true clusters, same-cluster centroid twins
+    // legitimately escalate — that widening is wanted for recall.)
+    val cents = Ivf.trainCentroids(vecs, nClusters = 3, iters = 2)
+    val probes = Ivf.probeAssignments(
+      vecs.select(col("vec_id").as("query_id"), col("embedding").as("v")),
+      cents, nprobe = 1, nprobeMax = 3, escalateMargin = 0.35)
+    val perQuery = probes.groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(perQuery.where(col("n") > 1).isEmpty,
+      "escalation fired on clustered data")
+    assert(perQuery.count() == 90)
+  }
+
   test("IVF inverted lists cover the corpus and centroids are trained") {
     val cents = Ivf.trainCentroids(vecs, nClusters = 6, iters = 2)
     val n = cents.count()
