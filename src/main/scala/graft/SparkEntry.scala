@@ -258,6 +258,87 @@ object SparkEntry {
         sum(GfaParse.tagDouble(col("tags"), "RC")).as("total_weight"))
       segAgg.crossJoin(linkAgg)
     }),
+    // S2 under the driver oracle: the GZIP-compressed text scan — render
+    // the turn table as GFA S records, WRITE an actual .gz text file,
+    // read it back through the compressed-scan path, parse, aggregate.
+    // The oracle computes the same totals straight from turns, so a
+    // regression anywhere in write→gzip→scan→parse breaks the hash.
+    "q_gfa_gz_stats" -> ((s, dir) => {
+      val t = T(s, dir)
+      val segLines = t.select(concat_ws("\t", lit("S"),
+          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
+        .as("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("q_gfa_gz").resolve("gfa").toString
+      segLines.write.option("compression", "gzip").text(tmp)
+      GfaParse.segments(s.read.text(tmp)).agg(
+        count(lit(1)).as("n_segments"),
+        sum(length(col("sequence"))).cast("long").as("seq_bytes"))
+    }),
+    // S6 under the driver oracle: unknown-record dispatch — one W record
+    // (GFA1.1 walk: NOT in the reference's {S,L,P,E,C,O} dispatch set)
+    // per conversation rides along with the S records and an H header;
+    // the counted side output must see exactly the W rows (H/F are
+    // silently skipped by contract).
+    "q_gfa_unknown" -> ((s, dir) => {
+      val t = T(s, dir)
+      val segLines = t.select(concat_ws("\t", lit("S"),
+          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
+        .as("value"))
+      val wLines = t.select(col("conv_id")).distinct()
+        .select(concat_ws("\t", lit("W"), col("conv_id"), lit("1")).as("value"))
+      val hLine = s.range(1)
+        .select(concat_ws("\t", lit("H"), lit("VN:Z:1.1")).as("value"))
+      GfaParse.unknownRecords(segLines.unionByName(wLines).unionByName(hLine))
+        .groupBy(col("rtype")).agg(count(lit(1)).as("n_records"))
+    }),
+    // A9 under the driver oracle: byte totals (sequence + typed-tag
+    // payload) through the ACTUAL GfaAnalysis.byteTotals operator, over S
+    // records carrying an LN:i tag — the oracle recomputes both sums
+    // (tag map stores "TYPE:VALUE", so its byte length is 2 + digits).
+    "q_gfa_bytes" -> ((s, dir) => {
+      val t = T(s, dir)
+      val segLines = t.select(concat_ws("\t", lit("S"),
+          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"),
+          concat(lit("LN:i:"), length(col("text")).cast("string")))
+        .as("value"))
+      graft.gfa.GfaAnalysis.byteTotals(segLines)
+    }),
+    // P13 under the driver oracle: the malformed-record side output — a
+    // truncated L record (3 fields < the required 5) per conversation
+    // rides along with well-formed S records; the permissive-mode rejects
+    // stream must count exactly those.
+    "q_gfa_malformed" -> ((s, dir) => {
+      val t = T(s, dir)
+      val segLines = t.select(concat_ws("\t", lit("S"),
+          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
+        .as("value"))
+      val badLines = t.select(col("conv_id")).distinct()
+        .select(concat_ws("\t", lit("L"), col("conv_id"), lit("+")).as("value"))
+      GfaParse.malformedRecords(segLines.unionByName(badLines))
+        .groupBy(col("rtype")).agg(count(lit(1)).as("n_records"))
+    }),
+    // G4/P10 under the driver oracle: P-record parse — each conversation
+    // rendered as one P line (ordered oriented members, orientation from
+    // the role), parsed back through paths→posexplode; every (name, pos,
+    // seg, ori) row must equal the turns-derived truth, so member-list
+    // splitting, orientation stripping, and ordering are all hash-checked.
+    "q_gfa_paths" -> ((s, dir) => {
+      val t = T(s, dir)
+      val entry = concat(
+        TurnGraph.nodeId(col("conv_id"), col("turn_idx")),
+        when(col("role") === "user", lit("+")).otherwise(lit("-"))).as("e")
+      val pLines = t
+        .groupBy("conv_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), entry))),
+                    x => x.getField("e")), ",").as("members"))
+        .select(concat_ws("\t", lit("P"), col("conv_id"), col("members"),
+                          lit("*")).as("value"))
+      GfaParse.pathMembers(pLines)
+        .select(col("name"), col("pos"), col("seg"), col("ori"))
+    }),
+
     // Q4 kernel under the driver oracle: all-pairs distance matrix over
     // the overlap graph — groupDistanceMatrix(min) with per-conversation
     // groups vs a DuckDB recursive all-sources BFS
@@ -704,6 +785,26 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1995-03-15'
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1""".stripMargin,
+    "q_gfa_gz_stats" -> tsql(
+      """SELECT COUNT(*) AS n_segments,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS seq_bytes
+        |FROM turns""".stripMargin),
+    "q_gfa_unknown" -> tsql(
+      """SELECT 'W' AS rtype, COUNT(DISTINCT conv_id) AS n_records
+        |FROM turns HAVING COUNT(DISTINCT conv_id) > 0""".stripMargin),
+    "q_gfa_bytes" -> tsql(
+      """SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS seq_bytes_total,
+        |       CAST(SUM(2 + LENGTH(CAST(LENGTH(text) AS VARCHAR))) AS BIGINT)
+        |         AS tags_bytes_total
+        |FROM turns""".stripMargin),
+    "q_gfa_malformed" -> tsql(
+      """SELECT 'L' AS rtype, COUNT(DISTINCT conv_id) AS n_records
+        |FROM turns HAVING COUNT(DISTINCT conv_id) > 0""".stripMargin),
+    "q_gfa_paths" -> tsql(
+      """SELECT conv_id AS name, turn_idx AS pos,
+        |       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS seg,
+        |       CASE WHEN role = 'user' THEN '+' ELSE '-' END AS ori
+        |FROM turns""".stripMargin),
     "q_gfa_stats" -> tsql(
       """, e AS (
         |  SELECT date_diff('microsecond', ts, LEAD(ts) OVER w) AS gap_us

@@ -168,4 +168,43 @@ class StreamingSpec extends SparkSuite {
       query.stop()
     } finally spark.streams.removeListener(metrics)
   }
+
+  test("T5 join state is bounded: evicted user rows never pair with late assistants") {
+    // the unbounded-input guarantee of the stream-stream join: once the
+    // watermark passes user_ts + maxWait, the buffered user row is
+    // evicted — an assistant arriving after that produces NO pair (and a
+    // fresh pair in the same batch still emits, as the positive control)
+    val ms = MemoryStream[Turn](
+      implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+    val out = CepQueries.userAssistantJoin(ms.toDF(),
+      watermark = "1 minute", maxWait = "10 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName(s"join_evict_${System.nanoTime()}")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    def turn(c: String, i: Int, role: String, offMs: Long) =
+      Turn(c, i, role, "x", None, new Timestamp(t0 + offMs))
+    try {
+      // batch 1: user A at t0; user C two hours later pushes the
+      // watermark (computed at batch END) to ~t0+2h−1min ≫ t0+10min
+      ms.addData(Seq(turn("A", 0, "user", 0),
+                     turn("C", 0, "user", 2 * 3600 * 1000L)))
+      query.processAllAvailable()
+      // batch 2: state cleanup runs with batch 1's watermark → A's user
+      // row (evictable once watermark > user_ts + maxWait) is removed;
+      // C's fresh assistant pairs (the positive control)
+      ms.addData(Seq(turn("C", 1, "assistant", 2 * 3600 * 1000L + 30 * 1000L)))
+      query.processAllAvailable()
+      // batch 3: A's assistant arrives 2 h late — its user row is gone,
+      // so no pair (the bounded-state guarantee; eviction lags the
+      // watermark by one batch, which is why this is batch 3 not 2)
+      ms.addData(Seq(turn("A", 1, "assistant", 30 * 1000L)))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val rows = spark.table(query.name)
+        .select("conv_id", "user_idx", "asst_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      assert(rows == Set(("C", 0, 1)), s"got $rows")
+    } finally query.stop()
+  }
 }
