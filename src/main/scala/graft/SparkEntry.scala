@@ -554,15 +554,22 @@ object SparkEntry {
   private val streamFeedWhere =
     "WHERE regexp_matches(conv_id, '^c[0-9]d') AND ts IS NOT NULL"
 
-  /** The bounded driver feed, event-time sorted (no late batches). Rows
-    * with null ts are excluded before the sort (none exist in the driver
-    * data; a null event time would NPE here and is undroppable-late by
-    * definition) — the oracle WHERE carries the same predicate.
+  /** The bounded driver feed, event-time sorted (no late batches). The
+    * subset predicate is applied to the EVENTS SCAN as `user_id < 10`
+    * (exactly the conv_ids matching [[StreamFeedPattern]], since
+    * conv_id = 'c' + user_id + 'd' + date) — it reaches the parquet
+    * reader as a pushed filter and the turn-rank shuffle runs over ~700
+    * rows instead of the whole table; ranking within a conversation is
+    * untouched by dropping other conversations. Rows with null ts are
+    * excluded before the sort (none exist in the driver data; a null
+    * event time would NPE here and is undroppable-late by definition) —
+    * the oracle WHERE carries the same predicates on its side.
     */
   private def streamFeed(s: SparkSession, dir: String): Array[graft.schema.Turn] = {
     import s.implicits._
-    T(s, dir)
-      .where(col("conv_id").rlike(StreamFeedPattern) && col("ts").isNotNull)
+    Transcripts.fromEvents(
+        s.read.parquet(s"$dir/events.parquet").where(col("user_id") < 10))
+      .where(col("ts").isNotNull)
       .withColumn("ts", col("ts").cast("timestamp"))
       .as[graft.schema.Turn]
       .collect()
