@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gen.Transcripts
-import graft.gfa.GfaParse
+import graft.gfa.{GfaParse, SplitAlignment}
 import graft.graph.Graph
 import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
 import graft.sim.{Ivf, Knn}
@@ -292,6 +292,25 @@ object SparkEntry {
       GfaParse.unknownRecords(segLines.unionByName(wLines).unionByName(hLine))
         .groupBy(col("rtype")).agg(count(lit(1)).as("n_records"))
     }),
+    // G5/G6/J2/A10/O1 under the driver oracle: split-on-alignment — each
+    // restricted conversation becomes one segment (GFA2 length-form S
+    // record, L = total text bytes) with E records aligning consecutive
+    // turn spans at cumulative-length coordinates, so the breakpoint set
+    // is exactly the cumulative sums and the sub-segment nodes are the
+    // per-turn spans — which the oracle recomputes with a window sum. A
+    // ghost-segment E per conversation exercises the rejects side output
+    // without minting intervals (q_split_rejects).
+    "q_split_nodes" -> ((s, dir) =>
+      SplitAlignment(splitGfaLines(s, dir)).nodes
+        .select(col("node"), col("seg"), col("start"), col("end"),
+                col("length"))),
+    "q_split_edges" -> ((s, dir) =>
+      SplitAlignment(splitGfaLines(s, dir)).edges
+        .select(col("src"), col("dst"), col("from_orient"),
+                col("to_orient"), col("kind"))),
+    "q_split_rejects" -> ((s, dir) =>
+      SplitAlignment(splitGfaLines(s, dir)).rejectedEdges
+        .agg(count(lit(1)).as("n_rejected"))),
     // A9 under the driver oracle: byte totals (sequence + typed-tag
     // payload) through the ACTUAL GfaAnalysis.byteTotals operator, over S
     // records carrying an LN:i tag — the oracle recomputes both sums
@@ -521,8 +540,13 @@ object SparkEntry {
 
   private def restrictedConvText(s: SparkSession, dir: String): DataFrame =
     convTextCache.getOrElseUpdate(s, dir) {
-      val base = T(s, dir).where(col("conv_id").startsWith("c0d") ||
-                                 col("conv_id").startsWith("c1d"))
+      // the c0d/c1d conv prefixes are exactly users 0 and 1 (conv_id =
+      // 'c' + user_id + 'd' + date), so the restriction is applied to
+      // the events scan where it pushes into the parquet reader — the
+      // turn-rank shuffle then runs over the two users' rows only
+      val base = Transcripts.fromEvents(
+        s.read.parquet(s"$dir/events.parquet")
+          .where(col("user_id").isin(0L, 1L)))
       val ct = graft.ops.Overlap.convText(base, OverlapDfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // no-silent-caps: surface the df-cap's drops once per (session, dir)
@@ -537,6 +561,43 @@ object SparkEntry {
           "see graft.ops.Overlap.droppedTexts for the list")
       ct
     }
+
+  /** GFA text for the split-alignment oracles: users 0-1's conversations
+    * as GFA2 length-form segments (`S conv L`, L = total text bytes),
+    * one coordinate E record per adjacent turn pair (from-span = the
+    * earlier turn's [cum, cum+len), to-span = the later turn's), and one
+    * E per conversation targeting an undeclared ghost segment (a reject
+    * by the reference's mapping-KeyError rule, builders.py:385-394,
+    * which must NOT mint intervals).
+    */
+  private def splitGfaLines(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Transcripts.fromEvents(
+      s.read.parquet(s"$dir/events.parquet").where(col("user_id").isin(0L, 1L)))
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val cums = t
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).as("len"))
+      .withColumn("cum0",
+        coalesce(sum("len").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                 lit(0)).cast("long"))
+      .withColumn("cum1", col("cum0") + col("len"))
+    val sLines = cums.groupBy("conv_id").agg(max("cum1").as("total"))
+      .select(concat_ws("\t", lit("S"), col("conv_id"), col("total"))
+        .as("value"))
+    val nxt = cums
+      .withColumn("ncum0", lead("cum0", 1).over(w))
+      .withColumn("ncum1", lead("cum1", 1).over(w))
+    val eLines = nxt.where(col("ncum0").isNotNull)
+      .select(concat_ws("\t", lit("E"), lit("*"),
+        concat(col("conv_id"), lit("+")), col("cum0"), col("cum1"),
+        concat(col("conv_id"), lit("+")), col("ncum0"), col("ncum1"),
+        lit("*")).as("value"))
+    val ghostLines = cums.where(col("turn_idx") === 0)
+      .select(concat_ws("\t", lit("E"), lit("*"),
+        concat(col("conv_id"), lit("+")), lit(0), col("cum1"),
+        lit("zz_ghost+"), lit(0), lit(5), lit("*")).as("value"))
+    sLines.unionByName(eLines).unionByName(ghostLines)
+  }
 
   /** Conv-id pattern of the driver-fed streaming subset: single-digit
     * users — 10 users, ~700 turns at EVERY shipped sf (volume grows with
@@ -799,6 +860,42 @@ object SparkEntry {
     "q_gfa_unknown" -> tsql(
       """SELECT 'W' AS rtype, COUNT(DISTINCT conv_id) AS n_records
         |FROM turns HAVING COUNT(DISTINCT conv_id) > 0""".stripMargin),
+    "q_split_nodes" -> tsql(
+      """, c AS (
+        |  SELECT conv_id,
+        |         CAST(COALESCE(SUM(LENGTH(text)) OVER (
+        |           PARTITION BY conv_id ORDER BY turn_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS INTEGER) AS a,
+        |         CAST(LENGTH(text) AS INTEGER) AS len
+        |  FROM turns WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%')
+        |SELECT conv_id || ':' || CAST(a AS VARCHAR) || '-' ||
+        |         CAST(a + len AS VARCHAR) AS node,
+        |       conv_id AS seg, a AS start, a + len AS "end", len AS length
+        |FROM c""".stripMargin),
+    "q_split_edges" -> tsql(
+      """, c AS (
+        |  SELECT conv_id, turn_idx,
+        |         CAST(COALESCE(SUM(LENGTH(text)) OVER (
+        |           PARTITION BY conv_id ORDER BY turn_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS INTEGER) AS a,
+        |         CAST(LENGTH(text) AS INTEGER) AS len
+        |  FROM turns WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'),
+        |p AS (
+        |  SELECT conv_id,
+        |         conv_id || ':' || CAST(a AS VARCHAR) || '-' ||
+        |           CAST(a + len AS VARCHAR) AS src,
+        |         LEAD(conv_id || ':' || CAST(a AS VARCHAR) || '-' ||
+        |           CAST(a + len AS VARCHAR)) OVER
+        |           (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+        |  FROM c)
+        |SELECT src, dst, '+' AS from_orient, '+' AS to_orient, k.kind
+        |FROM p, (VALUES ('edge'), ('chain')) AS k(kind)
+        |WHERE dst IS NOT NULL""".stripMargin),
+    "q_split_rejects" -> tsql(
+      """SELECT COUNT(DISTINCT conv_id) AS n_rejected
+        |FROM turns WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'""".stripMargin),
     "q_gfa_bytes" -> tsql(
       """SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS seq_bytes_total,
         |       CAST(SUM(2 + LENGTH(CAST(LENGTH(text) AS VARCHAR))) AS BIGINT)
