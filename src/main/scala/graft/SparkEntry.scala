@@ -596,7 +596,26 @@ object SparkEntry {
       .select(concat_ws("\t", lit("E"), lit("*"),
         concat(col("conv_id"), lit("+")), lit(0), col("cum1"),
         lit("zz_ghost+"), lit(0), lit(5), lit("*")).as("value"))
-    sLines.unionByName(eLines).unionByName(ghostLines)
+    // L records between a user's consecutive conversations (J3: links
+    // rewire to FULL-SPAN nodes, here = the first interval conv:0-len₀);
+    // window partitioned by the user prefix — no global window. BOTH L
+    // syntaxes are exercised (P4): user 0's links in explicit-orientation
+    // form, user 1's in id-suffix form (padded to the required 5 fields
+    // with a tag) — the parse must land both on the identical oracle rows.
+    val wl = Window.partitionBy(substring(col("conv_id"), 1, 2))
+      .orderBy("conv_id")
+    val lLines = cums.select("conv_id").distinct()
+      .withColumn("nconv", lead("conv_id", 1).over(wl))
+      .where(col("nconv").isNotNull)
+      .select(
+        when(substring(col("conv_id"), 2, 1) === "0",
+          concat_ws("\t", lit("L"), col("conv_id"), lit("+"),
+            col("nconv"), lit("+"), lit("0M")))
+        .otherwise(
+          concat_ws("\t", lit("L"), concat(col("conv_id"), lit("+")),
+            concat(col("nconv"), lit("+")), lit("0M"), lit("XX:i:1")))
+        .as("value"))
+    sLines.unionByName(eLines).unionByName(ghostLines).unionByName(lLines)
   }
 
   /** Conv-id pattern of the driver-fed streaming subset: single-digit
@@ -889,10 +908,22 @@ object SparkEntry {
         |         LEAD(conv_id || ':' || CAST(a AS VARCHAR) || '-' ||
         |           CAST(a + len AS VARCHAR)) OVER
         |           (PARTITION BY conv_id ORDER BY turn_idx) AS dst
-        |  FROM c)
+        |  FROM c),
+        |fn AS (
+        |  SELECT conv_id,
+        |         conv_id || ':0-' || CAST(LENGTH(text) AS VARCHAR) AS fullnode
+        |  FROM turns
+        |  WHERE turn_idx = 0 AND (conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%')),
+        |l AS (
+        |  SELECT fullnode AS src,
+        |         LEAD(fullnode) OVER (PARTITION BY substr(conv_id, 1, 2)
+        |                              ORDER BY conv_id) AS dst
+        |  FROM fn)
         |SELECT src, dst, '+' AS from_orient, '+' AS to_orient, k.kind
         |FROM p, (VALUES ('edge'), ('chain')) AS k(kind)
-        |WHERE dst IS NOT NULL""".stripMargin),
+        |WHERE dst IS NOT NULL
+        |UNION ALL
+        |SELECT src, dst, '+', '+', 'link' FROM l WHERE dst IS NOT NULL""".stripMargin),
     "q_split_rejects" -> tsql(
       """SELECT COUNT(DISTINCT conv_id) AS n_rejected
         |FROM turns WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'""".stripMargin),
