@@ -581,7 +581,8 @@ object SparkEntry {
         coalesce(sum("len").over(w.rowsBetween(Window.unboundedPreceding, -1)),
                  lit(0)).cast("long"))
       .withColumn("cum1", col("cum0") + col("len"))
-    val sLines = cums.groupBy("conv_id").agg(max("cum1").as("total"))
+    val totals = cums.groupBy("conv_id").agg(max("cum1").as("total"))
+    val sLines = totals
       .select(concat_ws("\t", lit("S"), col("conv_id"), col("total"))
         .as("value"))
     val nxt = cums
@@ -596,6 +597,18 @@ object SparkEntry {
       .select(concat_ws("\t", lit("E"), lit("*"),
         concat(col("conv_id"), lit("+")), lit(0), col("cum1"),
         lit("zz_ghost+"), lit(0), lit(5), lit("*")).as("value"))
+    // one coordinate-full C (containment) record per multi-turn
+    // conversation: the second turn-span contained in the full segment —
+    // rewires to (full-span node, second interval), which equals the
+    // first E pair's row, so the oracle just duplicates that row (the C
+    // parse path and the (0, L) → full-node mapping override both ride
+    // the hash compare)
+    val cLines = nxt.where(col("turn_idx") === 0 && col("ncum0").isNotNull)
+      .join(totals, Seq("conv_id"))
+      .select(concat_ws("\t", lit("C"), lit("*"),
+        concat(col("conv_id"), lit("+")), lit(0), col("total"),
+        concat(col("conv_id"), lit("+")), col("ncum0"), col("ncum1"),
+        lit("*")).as("value"))
     // L records between a user's consecutive conversations (J3: links
     // rewire to FULL-SPAN nodes, here = the first interval conv:0-len₀);
     // window partitioned by the user prefix — no global window. BOTH L
@@ -615,7 +628,8 @@ object SparkEntry {
           concat_ws("\t", lit("L"), concat(col("conv_id"), lit("+")),
             concat(col("nconv"), lit("+")), lit("0M"), lit("XX:i:1")))
         .as("value"))
-    sLines.unionByName(eLines).unionByName(ghostLines).unionByName(lLines)
+    sLines.unionByName(eLines).unionByName(ghostLines).unionByName(cLines)
+      .unionByName(lLines)
   }
 
   /** Conv-id pattern of the driver-fed streaming subset: single-digit
@@ -902,7 +916,7 @@ object SparkEntry {
         |         CAST(LENGTH(text) AS INTEGER) AS len
         |  FROM turns WHERE conv_id LIKE 'c0d%' OR conv_id LIKE 'c1d%'),
         |p AS (
-        |  SELECT conv_id,
+        |  SELECT conv_id, turn_idx,
         |         conv_id || ':' || CAST(a AS VARCHAR) || '-' ||
         |           CAST(a + len AS VARCHAR) AS src,
         |         LEAD(conv_id || ':' || CAST(a AS VARCHAR) || '-' ||
@@ -922,6 +936,11 @@ object SparkEntry {
         |SELECT src, dst, '+' AS from_orient, '+' AS to_orient, k.kind
         |FROM p, (VALUES ('edge'), ('chain')) AS k(kind)
         |WHERE dst IS NOT NULL
+        |UNION ALL
+        |-- the C containment per multi-turn conversation rewires to the
+        |-- same (full-span, second-interval) pair as the first E record
+        |SELECT src, dst, '+', '+', 'edge' FROM p
+        |WHERE turn_idx = 0 AND dst IS NOT NULL
         |UNION ALL
         |SELECT src, dst, '+', '+', 'link' FROM l WHERE dst IS NOT NULL""".stripMargin),
     "q_split_rejects" -> tsql(
