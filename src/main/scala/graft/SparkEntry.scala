@@ -301,15 +301,15 @@ object SparkEntry {
     // ghost-segment E per conversation exercises the rejects side output
     // without minting intervals (q_split_rejects).
     "q_split_nodes" -> ((s, dir) =>
-      SplitAlignment(splitGfaLines(s, dir)).nodes
+      splitResult(s, dir).nodes
         .select(col("node"), col("seg"), col("start"), col("end"),
                 col("length"))),
     "q_split_edges" -> ((s, dir) =>
-      SplitAlignment(splitGfaLines(s, dir)).edges
+      splitResult(s, dir).edges
         .select(col("src"), col("dst"), col("from_orient"),
                 col("to_orient"), col("kind"))),
     "q_split_rejects" -> ((s, dir) =>
-      SplitAlignment(splitGfaLines(s, dir)).rejectedEdges
+      splitResult(s, dir).rejectedEdges
         .agg(count(lit(1)).as("n_rejected"))),
     // A9 under the driver oracle: byte totals (sequence + typed-tag
     // payload) through the ACTUAL GfaAnalysis.byteTotals operator, over S
@@ -569,8 +569,38 @@ object SparkEntry {
     * E per conversation targeting an undeclared ghost segment (a reject
     * by the reference's mapping-KeyError rule, builders.py:385-394,
     * which must NOT mint intervals).
+    *
+    * Memoized + persisted per (session, dir): [[SplitAlignment]] reads
+    * its input from many sub-relations (segments, E/C edges, links,
+    * breakpoints), and each reference would otherwise re-execute the
+    * whole rank-window rendering DAG — a production caller's input is a
+    * file scan (cheap to re-read); this derived input must be
+    * materialized once to match that cost shape.
     */
-  private def splitGfaLines(s: SparkSession, dir: String): DataFrame = {
+  private val splitLinesCache = new graft.ops.SessionMemo[String]
+
+  /** One [[SplitAlignment]] construction per (session, dir): building the
+    * Result costs ~4 s of driver-side plan analysis (twenty-odd eagerly
+    * analyzed relations with fat parse-expression trees) — a production
+    * caller constructs it once and reads all four outputs, which is the
+    * shape the three q_split_* queries should share too.
+    */
+  private val splitResultCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SplitAlignment.Result]
+
+  private def splitResult(s: SparkSession, dir: String): SplitAlignment.Result = {
+    splitResultCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    splitResultCache.computeIfAbsent((s, dir),
+      _ => SplitAlignment(splitGfaLines(s, dir)))
+  }
+
+  private def splitGfaLines(s: SparkSession, dir: String): DataFrame =
+    splitLinesCache.getOrElseUpdate(s, dir) {
+      buildSplitGfaLines(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def buildSplitGfaLines(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Transcripts.fromEvents(
       s.read.parquet(s"$dir/events.parquet").where(col("user_id").isin(0L, 1L)))

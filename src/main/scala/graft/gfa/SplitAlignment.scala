@@ -21,6 +21,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object SplitAlignment {
 
+  /** Hub-relation memo: `intervals` is referenced by six downstream
+    * relations (full/ivMap/chain/nodes/…) and `full` by four — without an
+    * InMemoryRelation boundary the optimizer inlines the whole
+    * breakpoint-collection subtree into every reference (6× recompute of
+    * the one real shuffle at scale; a stage-latency pile-up on small
+    * inputs). Keyed on the canonicalized input plan, LRU-bounded with
+    * unpersist-on-evict ([[graft.ops.SessionMemo]]).
+    */
+  private val hubCache = new graft.ops.SessionMemo[(String, Any)]
+
   final case class Result(
       nodes: DataFrame,       // (node, seg, start, end, length)
       edges: DataFrame,       // (src, dst, from_orient, to_orient, kind)
@@ -54,8 +64,9 @@ object SplitAlignment {
     // INNER join on declared segments: coordinates naming a segment with no
     // S record must NOT mint intervals — such edges are rejects, exactly
     // like the reference's mapping KeyError (builders.py:385-394).
+    val planKey: Any = lines.queryExecution.analyzed.canonicalized
     val withLen = bps.join(segs.withColumnRenamed("id", "seg"), Seq("seg"))
-    val intervals = withLen
+    val intervalsRaw = withLen
       .withColumn("bps2",
         when(size(col("bps")) > 1, col("bps"))
           .when(col("length").isNotNull,
@@ -73,15 +84,24 @@ object SplitAlignment {
         concat(col("seg"), lit(":"), col("iv.a"), lit("-"), col("iv.b"))
           .as("node"))
 
+    val intervals = hubCache.getOrElseUpdate(lines.sparkSession,
+      ("intervals", planKey)) {
+      intervalsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
     // 3. full-span node per segment: interval (0, length) if present, else
     // the first interval (builders.py:365-373)
-    val full = intervals
-      .withColumn("isFull",
-        col("length").isNotNull && col("a") === 0 && col("b") === col("length"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("seg").orderBy(col("isFull").desc, col("pos"))))
-      .where(col("rank") === 1)
-      .select(col("seg"), col("node").as("full_node"))
+    val full = hubCache.getOrElseUpdate(lines.sparkSession,
+      ("full", planKey)) {
+      intervals
+        .withColumn("isFull",
+          col("length").isNotNull && col("a") === 0 && col("b") === col("length"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("seg").orderBy(col("isFull").desc, col("pos"))))
+        .where(col("rank") === 1)
+        .select(col("seg"), col("node").as("full_node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     // 4. coordinate mapping relation: interval entries + (0,length)→full
     // override + the null-coordinate sentinel → full (dict order:
@@ -100,8 +120,14 @@ object SplitAlignment {
               col("full_node").as("node"))
     val sentinel = full.select(col("seg"), lit(-1).as("a"), lit(-1).as("b"),
                                col("full_node").as("node"))
-    val mapping = ivMap.unionByName(fullAsSpan).unionByName(sentinel)
-      .dropDuplicates("seg", "a", "b")
+    // the coordinate dict analog is the third hub: both rewiring joins
+    // (and their left-join reject twins) read it
+    val mapping = hubCache.getOrElseUpdate(lines.sparkSession,
+      ("mapping", planKey)) {
+      ivMap.unionByName(fullAsSpan).unionByName(sentinel)
+        .dropDuplicates("seg", "a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     // 5. chain links between consecutive intervals (G6)
     val chain = intervals
