@@ -337,6 +337,29 @@ object SparkEntry {
       GfaParse.malformedRecords(segLines.unionByName(badLines))
         .groupBy(col("rtype")).agg(count(lit(1)).as("n_records"))
     }),
+    // G2/P7/P8 under the driver oracle: bidirected node synthesis + edge
+    // mirroring — conversation-chain L records carry role-derived
+    // orientations; GfaGraph.edges(bidirected) must emit the forward
+    // `u:o1 → v:o2` AND the reverse-complement twin
+    // `v:flip(o2) → u:flip(o1)` for every link, which the oracle rebuilds
+    // from turn parity (role alternates with turn_idx).
+    "q_gfa_bidir" -> ((s, dir) => {
+      val t = Transcripts.fromEvents(
+        s.read.parquet(s"$dir/events.parquet").where(col("user_id") < 10))
+      val sLines = t.select(concat_ws("\t", lit("S"),
+        TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
+        .as("value"))
+      val ori = (r: org.apache.spark.sql.Column) =>
+        when(r === "user", lit("+")).otherwise(lit("-"))
+      val e = TurnGraph.edges(t)
+      val lLines = e.select(concat_ws("\t", lit("L"),
+        TurnGraph.nodeId(col("conv_id"), col("src_idx")), ori(col("src_role")),
+        TurnGraph.nodeId(col("conv_id"), col("dst_idx")), ori(col("dst_role")),
+        lit("0M")).as("value"))
+      graft.gfa.GfaGraph.edges(sLines.unionByName(lLines),
+          graft.gfa.GfaOptions(bidirected = true))
+        .select(col("src"), col("dst"))
+    }),
     // G4/P10 under the driver oracle: P-record parse — each conversation
     // rendered as one P line (ordered oriented members, orientation from
     // the role), parsed back through paths→posexplode; every (name, pos,
@@ -984,6 +1007,23 @@ object SparkEntry {
     "q_gfa_malformed" -> tsql(
       """SELECT 'L' AS rtype, COUNT(DISTINCT conv_id) AS n_records
         |FROM turns HAVING COUNT(DISTINCT conv_id) > 0""".stripMargin),
+    "q_gfa_bidir" -> tsql(
+      """, p AS (
+        |  SELECT conv_id, turn_idx AS k, LEAD(turn_idx) OVER w AS k2
+        |  FROM turns WHERE regexp_matches(conv_id, '^c[0-9]d')
+        |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |  QUALIFY LEAD(turn_idx) OVER w IS NOT NULL)
+        |SELECT conv_id || ':' || CAST(k AS VARCHAR) || ':' ||
+        |         CASE WHEN k % 2 = 0 THEN '+' ELSE '-' END AS src,
+        |       conv_id || ':' || CAST(k2 AS VARCHAR) || ':' ||
+        |         CASE WHEN k2 % 2 = 0 THEN '+' ELSE '-' END AS dst
+        |FROM p
+        |UNION ALL
+        |SELECT conv_id || ':' || CAST(k2 AS VARCHAR) || ':' ||
+        |         CASE WHEN k2 % 2 = 0 THEN '-' ELSE '+' END,
+        |       conv_id || ':' || CAST(k AS VARCHAR) || ':' ||
+        |         CASE WHEN k % 2 = 0 THEN '-' ELSE '+' END
+        |FROM p""".stripMargin),
     "q_gfa_paths" -> tsql(
       """SELECT conv_id AS name, turn_idx AS pos,
         |       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS seg,
