@@ -89,7 +89,9 @@ object IvfTune {
     val trainSec = (System.nanoTime() - tTrain0) / 1e9
 
     val grid = sys.env.getOrElse("GRAFT_IVF_GRID",
-      "8:8:0.0,8:16:0.03,8:16:0.05,8:24:0.05,8:32:0.05,8:24:0.08,16:16:0.0")
+      // fixed-8 baseline, the shipped driver config (8→16 @ 0.35), the
+      // wider/cheaper corners that informed it, and fixed-16 for contrast
+      "8:8:0.0,8:16:0.3,8:16:0.35,8:24:0.3,16:16:0.0")
     grid.split(",").foreach { cfg =>
       val Array(np, npMax, margin) = cfg.split(":")
       val (sec, arr) = timed(pairs(
