@@ -62,8 +62,8 @@ object Bench {
     // "errors", and it is EXCLUDED from "total" — summing a fail-fast
     // planning exception's 0.2 s would let a regression-to-failure
     // *improve* the total. Cross-round total comparisons require
-    // failed == 0 on both sides; with failures, compare "total_ok" +
-    // the failed set explicitly.
+    // failed == 0 on both sides; with failures, compare the per-query
+    // maps + the failed set explicitly.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ => once(fn) }
       val firstErr = runs.flatMap(_._2).headOption
