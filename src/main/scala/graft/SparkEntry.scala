@@ -89,6 +89,30 @@ object SparkEntry {
                   col("start_ts").cast("timestamp_ntz").as("start_ts"),
                   col("end_ts").cast("timestamp_ntz").as("end_ts"))
     }),
+    // T8/T9/S13 under the driver oracle (round-5): the SAME watermarked
+    // session_window aggregate, but the query is KILLED after the first
+    // half of the feed and RESTARTED from its checkpoint before the
+    // second half + sentinel arrive — conversations and session windows
+    // straddle the restart, so the rows are correct only if checkpoint
+    // recovery, state re-hydration, and sink idempotence all work
+    // (reference analog: node2idx insert-once, builders.py:190-198).
+    // Oracle = the identical islands SQL as q_stream_sessions: a restart
+    // must be INVISIBLE in the result.
+    "q_stream_sessions_resume" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        Sessions.bySessionWindow(T(s, dir), "30 minutes")
+          .select("conv_id", "n_turns", "start_ts", "end_ts").limit(0)
+      else
+        runStreamResumed(s, rows, "q_stream_sessions_resume",
+                         nSentinels = 1) { src =>
+          graft.stream.CepQueries
+            .sessionStats(src, watermark = "10 minutes", gap = "30 minutes")
+        }
+          .select(col("conv_id"), col("n_turns"),
+                  col("start_ts").cast("timestamp_ntz").as("start_ts"),
+                  col("end_ts").cast("timestamp_ntz").as("end_ts"))
+    }),
     // T5/J6 under the driver oracle: the stream-stream join's ACTUAL
     // micro-batch path — both watermarked sides buffered in join state
     // across triggers, matches emitted incrementally, state evicted by
@@ -128,6 +152,32 @@ object SparkEntry {
           graft.stream.CsrState.attach(
               src.withWatermark("ts", "10 minutes").as[graft.schema.Turn],
               idleTimeout = "48 hours")
+            .toDF()
+        }
+          .where(col("is_final"))
+          .select(col("conv_id"), col("n_turns"), col("n_edges"),
+                  col("min_idx"), col("max_idx"), col("contiguous"))
+    }),
+    // A14/X2 under the driver oracle (round-5): the SALTED CSR state
+    // path — map-side per-partition partial aggregation compacts each
+    // conversation's micro-batch slice into one (idxs[], max_ts) row
+    // before the keyed-state shuffle ([[graft.stream.CsrState
+    // .attachSalted]]); the in-order driver feed makes the output
+    // row-identical to q_stream_csr (CsrParitySpec's contract), so the
+    // SAME DuckDB oracle hash-checks the hot-key-hardened path.
+    "q_stream_csr_salted" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        queries("q_csr_agg")(s, dir).limit(0)
+      else
+        runStream(s, rows, "q_stream_csr_salted", nSentinels = 2,
+                  sentinelGapMs = 14L * 24 * 3600 * 1000) { src =>
+          import s.implicits._
+          // attachSalted declares its own watermark on the partials'
+          // max_ts — pass the stream UN-watermarked
+          graft.stream.CsrState.attachSalted(
+              src.as[graft.schema.Turn], idleTimeout = "48 hours",
+              watermarkDelay = "10 minutes")
             .toDF()
         }
           .where(col("is_final"))
@@ -264,14 +314,7 @@ object SparkEntry {
     // The oracle computes the same totals straight from turns, so a
     // regression anywhere in write→gzip→scan→parse breaks the hash.
     "q_gfa_gz_stats" -> ((s, dir) => {
-      val t = T(s, dir)
-      val segLines = t.select(concat_ws("\t", lit("S"),
-          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
-        .as("value"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("q_gfa_gz").resolve("gfa").toString
-      segLines.write.option("compression", "gzip").text(tmp)
-      GfaParse.segments(s.read.text(tmp)).agg(
+      GfaParse.segments(s.read.text(gzSegLines(s, dir))).agg(
         count(lit(1)).as("n_segments"),
         sum(length(col("sequence"))).cast("long").as("seq_bytes"))
     }),
@@ -430,20 +473,44 @@ object SparkEntry {
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
       TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
-    // winnowed rolling-hash fingerprints (xxhash64 → rows-only; planted
-    // shared-substring fixture in DedupSpec)
-    "q_doc_fingerprints" -> ((s, dir) =>
-      TextAnalysis.winnowedFingerprints(docs(s, dir))
-        .select(col("doc_id"), size(col("fp")).as("n_fp"))),
-    "q_minhash_neardups" -> ((s, dir) => Dedup.minhashRanked(docs(s, dir))),
-    "q_simhash_neardups" -> ((s, dir) =>
-      Dedup.simhashNearDups(docs(s, dir), maxHamming = 16)),
-    "q_emb_neardups" -> ((s, dir) =>
+    // --- post-hash pipelines under the driver oracle (round-5): the
+    // xxhash64 signature stage of each query is materialized ONCE per
+    // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
+    // read back, so (a) the final result is computed from the very bytes
+    // the DuckDB oracle reads — banding joins, hamming/jaccard/cosine
+    // verification, winnowing, caps, and ranking are all under the exact
+    // row/schema/hash compare now — and (b) the queries exercise the
+    // amortized production shape (signature/index tables written once per
+    // corpus snapshot, reused across query batches). The hash stage
+    // itself stays pinned by planted fixtures (DedupSpec/KnnSpec).
+    "q_doc_fingerprints" -> ((s, dir) => {
+      val grams = graft.ops.OracleSig.materialize(s, dir, "fp_grams")(
+        TextAnalysis.gramHashes(docs(s, dir), "doc_id", "text", k = 8))
+      TextAnalysis.winnowFromGrams(docs(s, dir), grams, "doc_id", w = 4)
+        .select(col("doc_id"), size(col("fp")).as("n_fp"))
+    }),
+    "q_minhash_neardups" -> ((s, dir) => {
+      val sh = graft.ops.OracleSig.materialize(s, dir, "mh_sh")(
+        Dedup.shingleTable(docs(s, dir), "doc_id", "text", shingleK = 5))
+      val bands = graft.ops.OracleSig.materialize(s, dir, "mh_bands")(
+        Dedup.minhashBands(sh, numHashes = 32, bands = 8))
+      Dedup.minhashRankedFrom(sh, bands, limit = 200)
+    }),
+    "q_simhash_neardups" -> ((s, dir) => {
+      val sigs = graft.ops.OracleSig.materialize(s, dir, "sim_sigs")(
+        Dedup.simhash(docs(s, dir), "doc_id", "text"))
+      Dedup.simhashNearDupsFrom(sigs, maxHamming = 16)
+    }),
+    "q_emb_neardups" -> ((s, dir) => {
       // ranked form: best LSH-candidate pairs by cosine (thresholded form
       // is Dedup.embeddingNearDups; synthetic corpus has no >0.8 dups)
-      Dedup.embeddingNearDups(emb(s, dir), threshold = -1.0)
+      val e = emb(s, dir)
+      val sigs = graft.ops.OracleSig.materialize(s, dir, "vec_sigs")(
+        Knn.lshSignatures(e, "vec_id", "embedding", bits = 32))
+      Dedup.embeddingNearDupsFromSigs(e, sigs, threshold = -1.0)
         .orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(100)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))),
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))
+    }),
 
     // --- similarity search: embeddings ---
     // self-kNN-graph construction (every vector is a query) — the
@@ -456,7 +523,10 @@ object SparkEntry {
     }),
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Knn.lshTopK(e, e, 5, simDecimals = 6)
+      // same materialized signature table as q_emb_neardups (vec_sigs)
+      val sigs = graft.ops.OracleSig.materialize(s, dir, "vec_sigs")(
+        Knn.lshSignatures(e, "vec_id", "embedding", bits = 32))
+      Knn.lshTopKFromSigs(e, sigs, 5, simDecimals = 6)
         .select("query_id", "nbr_id", "rank")
     }),
     // IVF scale path: spherical-k-means inverted lists + nprobe search
@@ -470,9 +540,17 @@ object SparkEntry {
     // invertedLists) and amortizes across query batches via ivfTopKWith.
     "q_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Ivf.ivfTopK(e, e, 5, nClusters = 32, nprobe = 8, iters = 2,
-                  simDecimals = 6, sampleFactor = 25,
-                  nprobeMax = 16, escalateMargin = 0.35)
+      // train + assign + probe-escalate once per (session, sf); the
+      // materialized candidate set is what the rerank (and the oracle's
+      // recomputation of it) reads — its row count is exactly the
+      // candidate-volume cost metric IvfTune reports
+      val cands = graft.ops.OracleSig.materialize(s, dir, "ivf_cands") {
+        val cents = Ivf.trainCentroids(e, nClusters = 32, iters = 2,
+                                       sampleFactor = 25)
+        Ivf.candidatePairs(e, cents, Ivf.invertedLists(e, cents),
+                           nprobe = 8, nprobeMax = 16, escalateMargin = 0.35)
+      }
+      Ivf.rerankTopK(e, e, cands, 5, simDecimals = 6)
         .select("query_id", "nbr_id", "rank")
     }),
 
@@ -685,6 +763,30 @@ object SparkEntry {
       .unionByName(lLines)
   }
 
+  /** S2's real write→gzip→scan round trip input, written ONCE per
+    * (session, sf) to a FIXED per-sf path (mode=overwrite) — the previous
+    * shape minted a fresh java.nio temp dir per invocation (3 bench reps
+    * + every verify run) and never deleted it, accumulating unbounded
+    * /tmp usage across rounds; a fixed overwritten path bounds disk to
+    * one copy per sf tag while still exercising the actual gzip write +
+    * compressed-scan path on the first call of each session.
+    */
+  private val gzCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private def gzSegLines(s: SparkSession, dir: String): String = {
+    gzCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    gzCache.computeIfAbsent((s, dir), { _ =>
+      val tag = new java.io.File(dir).getName
+      val tmp = s"/tmp/graft_gz/$tag/gfa"
+      T(s, dir).select(concat_ws("\t", lit("S"),
+          TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"))
+        .as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(tmp)
+      tmp
+    })
+  }
+
   /** Conv-id pattern of the driver-fed streaming subset: single-digit
     * users — 10 users, ~700 turns at EVERY shipped sf (volume grows with
     * the day span, never the table), so the driver feed stays kilobytes
@@ -761,6 +863,48 @@ object SparkEntry {
     s.table(name).where(col("conv_id") =!= StreamSentinelConv)
   }
 
+  /** [[runStream]] with a kill/restart in the middle: batch 1 runs under
+    * query #1 (checkpointed, parquet sink — a memory sink would lose its
+    * rows across the restart), the query is STOPPED, and query #2 —
+    * started from the SAME checkpoint over the same MemoryStream — feeds
+    * batch 2 + the sentinels. Session/state entries straddling the stop
+    * are correct in the output only if the second query re-hydrates the
+    * state store from the checkpoint and the file sink stays idempotent
+    * on replay — which is exactly what the oracle hash-compare certifies.
+    */
+  private def runStreamResumed(s: SparkSession,
+                               rows: Array[graft.schema.Turn],
+                               tag: String, nSentinels: Int,
+                               sentinelGapMs: Long = 48L * 3600 * 1000)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[graft.schema.Turn](
+      org.apache.spark.sql.Encoders.product[graft.schema.Turn], s.sqlContext)
+    val root = java.nio.file.Files.createTempDirectory(tag).toString
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val parts = graft.stream.StatePartitions.forVolume(rows.length, minParts = 2)
+    def start() = graft.stream.StatePartitions.scoped(s, parts) {
+      build(ms.toDF()).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+    val q1 = start()
+    try { ms.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      ms.addData(b2); q2.processAllAvailable()
+      (1 to nSentinels).foreach { i =>
+        ms.addData(Seq(graft.schema.Turn(StreamSentinelConv, 0, "user", "s",
+          None,
+          new java.sql.Timestamp(rows.last.ts.getTime + i * sentinelGapMs))))
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    s.read.parquet(out).where(col("conv_id") =!= StreamSentinelConv)
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def tsql(body: String): String = Transcripts.sql(body)
@@ -807,6 +951,11 @@ object SparkEntry {
     // the batch plan
     "q_stream_sessions" ->
       tsql(Sessions.sessionWindowOracle(1800, streamFeedWhere)),
+    // IDENTICAL islands oracle — the mid-feed kill/restart on the Spark
+    // side must be invisible in the result (checkpoint recovery + state
+    // re-hydration + sink idempotence under the hash compare)
+    "q_stream_sessions_resume" ->
+      tsql(Sessions.sessionWindowOracle(1800, streamFeedWhere)),
     // q_pairing's relation, restricted to the fed subset and bounded by
     // userAssistantJoin's 2 h time-range condition — the Spark side runs
     // the actual stream-stream join with watermarked state
@@ -824,6 +973,14 @@ object SparkEntry {
     // actual flatMapGroupsWithState path and emits these rows only via
     // EventTimeTimeout finalization
     "q_stream_csr" -> tsql(
+      s"""SELECT conv_id, CAST(COUNT(*) AS INTEGER) AS n_turns,
+         |       CAST(COUNT(*) - 1 AS INTEGER) AS n_edges,
+         |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
+         |       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS contiguous
+         |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),
+    // identical oracle — the salted (map-side partial) state path must be
+    // row-identical to the plain keyed path on the in-order feed
+    "q_stream_csr_salted" -> tsql(
       s"""SELECT conv_id, CAST(COUNT(*) AS INTEGER) AS n_turns,
          |       CAST(COUNT(*) - 1 AS INTEGER) AS n_edges,
          |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
@@ -1159,10 +1316,127 @@ object SparkEntry {
         |              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
         |             c.vec_id ASC) AS INTEGER) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id)
-        |WHERE rank <= 5""".stripMargin
-    // q_minhash_neardups / q_simhash_neardups / q_knn_lsh / q_emb_neardups
-    // are hash-function-dependent (xxhash64 signatures) — not
-    // SQL-expressible in DuckDB; the driver records rows-only checks and
-    // ScalaTest covers them with planted fixtures (DedupSpec / KnnSpec).
+        |WHERE rank <= 5""".stripMargin,
+
+    // --- post-hash oracles: the xxhash64 signature stages cannot be
+    // reproduced in DuckDB, but the queries materialize them to
+    // deterministic parquet ([[graft.ops.OracleSig]]; paths below point
+    // at the sf0.01 correctness-gate tag) and compute their results FROM
+    // the written tables — so the oracle reads the same bytes and
+    // recomputes the entire post-hash pipeline (banding joins, caps,
+    // hamming/jaccard/cosine verification, winnowing, ranking)
+    // independently. The hash stages stay pinned by planted fixtures
+    // (DedupSpec / KnnSpec).
+    "q_doc_fingerprints" ->
+      s"""WITH g AS (SELECT doc_id, pos, h
+         |           FROM read_parquet('${sigGlob("fp_grams")}')),
+         |w AS (SELECT doc_id, pos,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |        COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |      FROM g),
+         |f AS (SELECT doc_id, COUNT(DISTINCT wmin) AS n_fp FROM w
+         |      WHERE pos <= GREATEST(n - 4, 0) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(f.n_fp, 0) AS INTEGER) AS n_fp
+         |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id""".stripMargin,
+    "q_minhash_neardups" ->
+      s"""WITH b AS (SELECT id, band, band_hash
+         |           FROM read_parquet('${sigGlob("mh_bands")}')
+         |           QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash)
+         |                   <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |         FROM b x JOIN b y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash
+         |         WHERE x.id < y.id),
+         |sh AS (SELECT id, sh FROM read_parquet('${sigGlob("mh_sh")}')),
+         |v AS (SELECT id_a, id_b,
+         |        CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh)))
+         |          AS jaccard
+         |      FROM cand JOIN sh a ON a.id = id_a JOIN sh c ON c.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM v
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin,
+    "q_simhash_neardups" ->
+      s"""WITH s AS (SELECT id, simhash
+         |           FROM read_parquet('${sigGlob("sim_sigs")}')),
+         |c AS (SELECT id, simhash, ci AS chunk,
+         |             (simhash >> (ci * 16)) & 65535 AS chunk_val
+         |      FROM s, UNNEST(generate_series(0, 3)) AS t(ci)
+         |      QUALIFY COUNT(*) OVER (PARTITION BY chunk, chunk_val)
+         |              <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+         |                  AS hamming
+         |         FROM c a JOIN c b
+         |           ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+         |         WHERE a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 16""".stripMargin,
+    "q_knn_lsh" ->
+      s"""WITH sig AS (SELECT id, sig
+         |             FROM read_parquet('${sigGlob("vec_sigs")}')),
+         |ch AS (SELECT id, ci AS chunk, (sig >> (ci * 8)) & 255 AS chunk_val
+         |       FROM sig, UNNEST(generate_series(0, 3)) AS t(ci)),
+         |corp AS (SELECT id, chunk, chunk_val FROM ch
+         |         QUALIFY COUNT(*) OVER (PARTITION BY chunk, chunk_val)
+         |                 <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nbr_id
+         |         FROM corp c JOIN ch q
+         |           ON c.chunk = q.chunk AND c.chunk_val = q.chunk_val
+         |         WHERE q.id <> c.id),
+         |scored AS (SELECT cand.query_id, cand.nbr_id,
+         |             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         |             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+         |           FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+         |                     JOIN embeddings c ON c.vec_id = cand.nbr_id)
+         |SELECT query_id, nbr_id, rank FROM (
+         |  SELECT query_id, nbr_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY round(sim, 6) DESC, nbr_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "q_emb_neardups" ->
+      s"""WITH sig AS (SELECT id, sig
+         |             FROM read_parquet('${sigGlob("vec_sigs")}')),
+         |ch AS (SELECT id, ci AS chunk, (sig >> (ci * 8)) & 255 AS chunk_val
+         |       FROM sig, UNNEST(generate_series(0, 3)) AS t(ci)
+         |       QUALIFY COUNT(*) OVER (PARTITION BY chunk, chunk_val)
+         |               <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM ch a JOIN ch b
+         |           ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+         |         WHERE a.id < b.id),
+         |v AS (SELECT id_a, id_b,
+         |        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+         |      FROM cand JOIN embeddings a ON a.vec_id = id_a
+         |                JOIN embeddings b ON b.vec_id = id_b)
+         |SELECT id_a, id_b, round(cosine, 3) AS cos3
+         |FROM v WHERE cosine >= -1.0
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_knn_ivf" ->
+      s"""WITH cand AS (SELECT query_id, nbr_id
+         |              FROM read_parquet('${sigGlob("ivf_cands")}')),
+         |scored AS (SELECT cand.query_id, cand.nbr_id,
+         |             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         |             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+         |           FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+         |                     JOIN embeddings c ON c.vec_id = cand.nbr_id)
+         |SELECT query_id, nbr_id, rank FROM (
+         |  SELECT query_id, nbr_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY round(sim, 6) DESC, nbr_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
   )
+
+  /** Signature-parquet glob for the post-hash oracles — pinned to the
+    * sf0.01 tag the driver's correctness gate runs at
+    * ([[graft.ops.OracleSig.VerifySfTag]]); `oracleSql` is static, so it
+    * cannot key off the runtime sf dir.
+    */
+  private def sigGlob(table: String): String =
+    graft.ops.OracleSig.oracleGlob(table)
 }

@@ -175,29 +175,76 @@ object Ivf {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   nprobe: Int = 4, simDecimals: Int = -1,
                   nprobeMax: Int = -1,
-                  escalateMargin: Double = 0.05): DataFrame = {
+                  escalateMargin: Double = 0.05): DataFrame =
+    ivfTopKWithLists(corpus, queries, centroids,
+                     invertedLists(corpus, centroids, idCol, vecCol), k,
+                     idCol, vecCol, nprobe, simDecimals, nprobeMax,
+                     escalateMargin)
+
+  /** The documented train-once/search-many deployment shape, now directly
+    * callable: both index halves — the centroid table from
+    * [[trainCentroids]] AND the corpus assignment from [[invertedLists]]
+    * (materialized once per corpus snapshot, bucketable by cluster_id) —
+    * are passed in, so a query batch pays only probe selection + rerank,
+    * never a corpus re-assignment ([[ivfTopKWith]] recomputes the lists
+    * per call, which is the convenience shape, not the amortized one).
+    */
+  def ivfTopKWithLists(corpus: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, lists: DataFrame, k: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       nprobe: Int = 4, simDecimals: Int = -1,
+                       nprobeMax: Int = -1,
+                       escalateMargin: Double = 0.05): DataFrame =
+    rerankTopK(corpus, queries,
+               candidatePairs(queries, centroids, lists, idCol, vecCol,
+                              nprobe, nprobeMax, escalateMargin),
+               k, idCol, vecCol, simDecimals)
+
+  /** The probed candidate set (query_id, nbr_id): each query's escalated
+    * probe clusters joined against the inverted lists, self-pairs
+    * excluded. Pairs are unique by construction (each nbr sits in exactly
+    * one list; probes are distinct per query). This is the post-training
+    * materialization point ([[graft.ops.OracleSig]]): downstream
+    * ([[rerankTopK]]) is exact cosine + top-k, SQL-oracle-checkable over
+    * the written pairs plus the embeddings table — and the table's size
+    * IS the candidate-volume cost metric IvfTune reports.
+    */
+  def candidatePairs(queries: DataFrame, centroids: DataFrame,
+                     lists: DataFrame,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     nprobe: Int = 4, nprobeMax: Int = -1,
+                     escalateMargin: Double = 0.05): DataFrame = {
+    val probes = probeAssignments(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
+      centroids, nprobe, nprobeMax, escalateMargin)
+    // no broadcast hints on probes: with corpus-as-queries both sides are
+    // corpus-sized (a forced broadcast would hit the 8 GB limit / driver
+    // OOM long before corpus scale); AQE broadcasts small query batches
+    // at runtime on its own
+    lists.join(probes, Seq("cluster_id"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "nbr_id")
+  }
+
+  /** Exact cosine + map-side-combinable top-k ([[graft.ops.TopKByScore]])
+    * over candidate (query_id, nbr_id) pairs — the IVF search tail.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, cands: DataFrame,
+                 k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 simDecimals: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val lists = invertedLists(corpus, centroids, idCol, vecCol)
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(vec_dot(col("q_vec"), col("q_vec"))))
-    val probes = probeAssignments(
-      qv.select(col("query_id"), col("q_vec").as("v")), centroids, nprobe,
-      nprobeMax, escalateMargin)
     val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", sqrt(vec_dot(col("nbr_vec"), col("nbr_vec"))))
-      .join(lists, Seq("nbr_id"))
     val sim = (vec_dot(col("q_vec"), col("nbr_vec")) /
       (col("q_norm") * col("nbr_norm"))).as("sim")
     val rankKey =
       if (simDecimals >= 0) round(col("sim"), simDecimals) else col("sim")
-    // no broadcast hints on probes/qv: with corpus-as-queries both sides
-    // are corpus-sized (a forced broadcast would hit the 8 GB limit /
-    // driver OOM long before corpus scale); AQE broadcasts small query
-    // batches at runtime on its own
-    val scored = cv.join(probes, Seq("cluster_id"))
+    val scored = cv.join(cands, Seq("nbr_id"))
       .join(qv, Seq("query_id"))
-      .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"), sim)
       .select(col("query_id"), col("nbr_id"), rankKey.as("key"), col("sim"))
       .as[graft.ops.ScoredRow]

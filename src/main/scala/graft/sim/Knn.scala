@@ -78,6 +78,66 @@ object Knn {
   def lshSignature(vec: Column, bits: Int): Column =
     graft.functions.VecFunctions.hyperplane_sig(vec, bits)
 
+  /** Hyperplane-signature table (id, sig) of an embedding table — the
+    * materialization point of the vector-LSH family: write this once per
+    * corpus snapshot ([[graft.ops.OracleSig]]) and the banding + rerank
+    * downstream ([[lshTopKFromSigs]],
+    * [[graft.text.Dedup.embeddingNearDupsFromSigs]]) is hash-free.
+    */
+  def lshSignatures(df: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", bits: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"), lshSignature(col(vecCol), bits).as("sig"))
+
+  /** [[lshTopK]]'s post-hash half for the self-kNN-graph workload
+    * (corpus == queries == `emb`) over a PRE-MATERIALIZED signature table
+    * from [[lshSignatures]]: chunk banding, corpus-side bucket cap,
+    * candidate join, and exact-cosine rerank — all signature/vector
+    * algebra, independently checkable by a SQL oracle over the written
+    * signature parquet plus the embeddings table.
+    */
+  def lshTopKFromSigs(emb: DataFrame, sigs: DataFrame, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      bits: Int = 32, bandBits: Int = 8,
+                      simDecimals: Int = -1,
+                      maxBucket: Int = graft.text.Dedup.DefaultMaxBucket)
+      : DataFrame = {
+    val chunked = graft.text.Dedup.chunksOfSigs(sigs, bits, bandBits)
+    val cappedCorpus = chunked
+      .withColumnRenamed("id", "nbr_id")
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("chunk", "chunk_val")))
+      .where(col("bsz") <= maxBucket).drop("bsz")
+    val cands = cappedCorpus
+      .join(chunked.withColumnRenamed("id", "query_id"),
+            Seq("chunk", "chunk_val"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "nbr_id").distinct()
+    rerankCosine(emb, emb, cands, k, idCol, vecCol, simDecimals)
+  }
+
+  /** Exact-cosine rerank of candidate (query_id, nbr_id) pairs against
+    * the vector tables, row_number-ranked (see [[rankWindow]]) — the
+    * shared verification tail of the LSH paths.
+    */
+  private[graft] def rerankCosine(corpus: DataFrame, queries: DataFrame,
+                                  cands: DataFrame, k: Int, idCol: String,
+                                  vecCol: String, simDecimals: Int)
+      : DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = c
+      .join(cands, Seq("nbr_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+              (vec_dot(col("q_vec"), col("nbr_vec")) /
+                (col("q_norm") * col("nbr_norm"))).as("sim"))
+    scored.where(!isnan(col("sim")))
+      .withColumn("rank", row_number().over(rankWindow(simDecimals)))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one
     * `bandBits`-bit chunk of the hyperplane signature; exact cosine rerank
     * within candidates. Trades recall for replacing the cross join with an
@@ -114,22 +174,11 @@ object Knn {
       .join(chunkedIds(queries, "query_id"), Seq("chunk", "chunk_val"))
       .where(col("query_id") =!= col("nbr_id"))
       .select("query_id", "nbr_id").distinct()
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
-      .withColumn("nbr_norm", norm(col("nbr_vec")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
-    val scored = c
-      .join(cands, Seq("nbr_id"))
-      .join(q, Seq("query_id"))
-      .select(col("query_id"), col("nbr_id"),
-              (vec_dot(col("q_vec"), col("nbr_vec")) /
-                (col("q_norm") * col("nbr_norm"))).as("sim"))
-    // NaN sims (zero-norm vectors) are dropped BEFORE ranking so this path
-    // agrees with TopKByScore (brute/IVF), which skips NaN keys — a NaN
-    // would otherwise sort FIRST under desc in the window (and in a SQL
-    // oracle), making the three cross-validated paths disagree.
-    scored.where(!isnan(col("sim")))
-      .withColumn("rank", row_number().over(rankWindow(simDecimals)))
-      .where(col("rank") <= k)
+    // NaN sims (zero-norm vectors) are dropped BEFORE ranking inside
+    // rerankCosine so this path agrees with TopKByScore (brute/IVF),
+    // which skips NaN keys — a NaN would otherwise sort FIRST under desc
+    // in the window (and in a SQL oracle), making the three
+    // cross-validated paths disagree.
+    rerankCosine(corpus, queries, cands, k, idCol, vecCol, simDecimals)
   }
 }

@@ -121,6 +121,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
 
+  /** The distinct-shingle-hash table (id, sh: array<bigint>) — the
+    * materialization point of the MinHash pipeline: write this (and
+    * [[minhashBands]]) to parquet once per corpus snapshot, and the whole
+    * candidate + verify stage downstream is hash-free relational algebra
+    * ([[minhashRankedFrom]]), independently checkable by a SQL oracle
+    * over the same parquet ([[graft.ops.OracleSig]]).
+    */
+  def shingleTable(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleK: Int = 5): DataFrame =
+    hashedDocs(docs, idCol, textCol, shingleK)
+
+  /** LSH band table (id, band, band_hash) of a shingle-hash table —
+    * UNcapped; the bucket cap is applied by the candidate join so the
+    * materialized artifact records every bucket (including the oversize
+    * ones the join drops — [[minhashOversizeBuckets]] reads them).
+    */
+  def minhashBands(sh: DataFrame, numHashes: Int = 32,
+                   bands: Int = 8): DataFrame = bandedOf(sh, numHashes, bands)
+
   private def bandedOf(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
@@ -132,10 +151,9 @@ object Dedup {
         }: _*)).as(Seq("band", "band_hash")))
   }
 
-  private def candidatesFrom(sh: DataFrame, numHashes: Int, bands: Int,
-                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = capBuckets(bandedOf(sh, numHashes, bands),
-                            Seq("band", "band_hash"), maxBucket)
+  private def candidatesFromBands(banded0: DataFrame,
+                                  maxBucket: Int): DataFrame = {
+    val banded = capBuckets(banded0, Seq("band", "band_hash"), maxBucket)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -144,6 +162,10 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  private def candidatesFrom(sh: DataFrame, numHashes: Int, bands: Int,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame =
+    candidatesFromBands(bandedOf(sh, numHashes, bands), maxBucket)
 
   /** Default LSH bucket-size cap: 10⁴ members = ≤ 5·10⁷ pairs per bucket,
     * bounded work per task; raise explicitly for corpora where genuine
@@ -219,6 +241,20 @@ object Dedup {
       .limit(limit)
   }
 
+  /** [[minhashRanked]]'s post-hash half over PRE-MATERIALIZED signature
+    * tables: `sh` = (id, sh) from [[shingleTable]], `banded` = (id, band,
+    * band_hash) from [[minhashBands]] — typically both read back from the
+    * parquet a pipeline (or [[graft.ops.OracleSig]]) wrote. Everything
+    * here — bucket cap, banding self-join, Jaccard verify, ranking — is
+    * hash-free and therefore SQL-oracle-checkable over the same parquet.
+    */
+  def minhashRankedFrom(sh: DataFrame, banded: DataFrame,
+                        maxBucket: Int = DefaultMaxBucket,
+                        limit: Int = 200): DataFrame =
+    verifyFrom(sh, candidatesFromBands(banded, maxBucket))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(limit)
+
   /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets the
     * corpus against itself, exact cosine verifies candidates ≥ threshold —
     * the vector-space member of the dedup family (pairs with id_a < id_b).
@@ -234,27 +270,54 @@ object Dedup {
     * definition so the dropped-bucket side output always corresponds to
     * the buckets the candidate join actually sees).
     */
-  private def embChunks(emb: DataFrame, idCol: String, vecCol: String,
-                        bits: Int, bandBits: Int): DataFrame = {
+  /** Chunk explode of a hyperplane-signature table (id, sig) — the shared
+    * post-hash banding step of the vector-LSH family ([[embeddingNearDups]]
+    * and [[graft.sim.Knn.lshTopKFromSigs]]).
+    */
+  private[graft] def chunksOfSigs(sigs: DataFrame, bits: Int,
+                                  bandBits: Int): DataFrame = {
     require(bits % bandBits == 0)
     val nChunks = bits / bandBits
     val mask = (1L << bandBits) - 1
-    emb
-      .select(col(idCol).as("id"),
-              graft.sim.Knn.lshSignature(col(vecCol), bits).as("sig"))
-      .select(col("id"),
-        posexplode(array((0 until nChunks).map { c =>
-          shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
-        }: _*)).as(Seq("chunk", "chunk_val")))
+    sigs.select(col("id"),
+      posexplode(array((0 until nChunks).map { c =>
+        shiftright(col("sig"), c * bandBits).bitwiseAND(mask)
+      }: _*)).as(Seq("chunk", "chunk_val")))
   }
+
+  private def embChunks(emb: DataFrame, idCol: String, vecCol: String,
+                        bits: Int, bandBits: Int): DataFrame =
+    chunksOfSigs(
+      emb.select(col(idCol).as("id"),
+                 graft.sim.Knn.lshSignature(col(vecCol), bits).as("sig")),
+      bits, bandBits)
 
   def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         threshold: Double = 0.95,
                         bits: Int = 32, bandBits: Int = 8,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    embeddingNearDupsFromSigs(
+      emb,
+      emb.select(col(idCol).as("id"),
+                 graft.sim.Knn.lshSignature(col(vecCol), bits).as("sig")),
+      idCol, vecCol, threshold, bits, bandBits, maxBucket)
+
+  /** [[embeddingNearDups]]'s post-hash half over a pre-materialized
+    * hyperplane-signature table (id, sig) from
+    * [[graft.sim.Knn.lshSignatures]] — banding, cap, candidate join, and
+    * the exact-cosine verify are signature/vector algebra, SQL-oracle-
+    * checkable over the written parquet plus the embeddings table.
+    */
+  def embeddingNearDupsFromSigs(emb: DataFrame, sigs: DataFrame,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                threshold: Double = 0.95,
+                                bits: Int = 32, bandBits: Int = 8,
+                                maxBucket: Int = DefaultMaxBucket)
+      : DataFrame = {
     import graft.sim.Knn
-    val chunked = embChunks(emb, idCol, vecCol, bits, bandBits)
+    val chunked = chunksOfSigs(sigs, bits, bandBits)
     val capped = capBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
     val cands = capped.as("a")
       .join(capped.as("b"),
@@ -316,8 +379,17 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 6,
                       maxBucket: Int = DefaultMaxBucket)
-      : DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+      : DataFrame =
+    simhashNearDupsFrom(simhash(docs, idCol, textCol), maxHamming, maxBucket)
+
+  /** [[simhashNearDups]]'s post-hash half over a pre-materialized
+    * signature table (id, simhash) from [[simhash]]: chunk explode,
+    * bucket cap, candidate join, and the bit_count(xor) hamming verify
+    * are all signature-value algebra — SQL-oracle-checkable over the
+    * written parquet ([[graft.ops.OracleSig]]).
+    */
+  def simhashNearDupsFrom(sigs: DataFrame, maxHamming: Int = 6,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunked = capBuckets(
       sigs.select(
         col("id"), col("simhash"),

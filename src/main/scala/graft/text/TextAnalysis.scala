@@ -45,18 +45,38 @@ object TextAnalysis {
     */
   def winnowedFingerprints(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text",
-                           k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                           k: Int = 8, w: Int = 4): DataFrame =
+    winnowFromGrams(docs, gramHashes(docs, idCol, textCol, k), idCol, w)
+
+  /** The character-k-gram rolling-hash table (idCol, pos, h) — the
+    * hash-dependent half of the winnowing pipeline, and its
+    * materialization point ([[graft.ops.OracleSig]]): everything
+    * downstream ([[winnowFromGrams]] — sliding minima, tail trim,
+    * distinct) is plain window algebra a SQL oracle can recompute over
+    * the written parquet.
+    */
+  def gramHashes(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", k: Int = 8): DataFrame = {
     val text = col(textCol)
     // guard the sequence: Spark's sequence(a, b) DESCENDS when b < a
     val grams = when(length(text) >= k,
       transform(sequence(lit(0), length(text) - k),
         i => xxhash64(substring(text, i + 1, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
+    docs.select(col(idCol), posexplode(grams).as(Seq("pos", "h")))
+  }
+
+  /** The winnowing (post-hash) half over a pre-materialized gram-hash
+    * table from [[gramHashes]]: minimum of each sliding window of `w`
+    * consecutive gram hashes, deduped and sorted per doc; docs absent
+    * from `grams` (text shorter than k) get an empty fingerprint set.
+    */
+  def winnowFromGrams(docs: DataFrame, grams: DataFrame,
+                      idCol: String = "doc_id", w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(idCol)
     val sliding = byDoc.orderBy("pos").rowsBetween(0, w - 1)
-    val fp = docs
-      .select(col(idCol), posexplode(grams).as(Seq("pos", "h")))
+    val fp = grams
       .withColumn("wmin", min("h").over(sliding))
       .withColumn("n", count(lit(1)).over(byDoc))
       .where(col("pos") <= greatest(col("n") - w, lit(0)))
