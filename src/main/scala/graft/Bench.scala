@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Measurement protocol: each query runs `SPARK_GRAFT_REPS` times (default
   * 3) and reports the MIN (the standard noise control on a shared host —
   * this box shows ±30-40%, occasionally 3×+, run-to-run variance; a
-  * single-shot artifact misreported round 3 by ~2×). Per-query max lands
-  * in "queries_max" as the noise indicator: a large min/max spread flags a
-  * noisy measurement, a tight one certifies the min as reproducible.
+  * single-shot artifact misreported round 3 by ~2×). Reps are interleaved
+  * round-robin across queries so one transient load spike cannot poison
+  * every rep of the same query. Per-query max lands in "queries_max" as
+  * the noise indicator: a large min/max spread flags a noisy measurement,
+  * a tight one certifies the min as reproducible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,30 +59,48 @@ object Bench {
       } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    // a failed query must be VISIBLE, not a fast fake success: its min
-    // seconds are negated (sentinel), its exception class lands in
-    // "errors", and it is EXCLUDED from "total" — summing a fail-fast
-    // planning exception's 0.2 s would let a regression-to-failure
-    // *improve* the total. Cross-round total comparisons require
-    // failed == 0 on both sides; with failures, compare the per-query
-    // maps + the failed set explicitly.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to reps).map { _ => once(fn) }
-      val firstErr = runs.flatMap(_._2).headOption
-      val secs = runs.map(_._1)
-      (name, secs.min, secs.max, firstErr)
+    // Reps are INTERLEAVED round-robin (rep i of every query before rep
+    // i+1 of any): back-to-back reps of one query all land inside the
+    // same transient load spike on a shared host, poisoning every rep of
+    // that query at once (round 4's committed artifact recorded a 20.9 s
+    // min on a query whose quiet-slot min is 5.6 s) — spreading a
+    // query's reps minutes apart decorrelates them from host noise at
+    // zero protocol cost.
+    //
+    // A query failing on EVERY rep must be VISIBLE, not a fast fake
+    // success: its min seconds are negated (sentinel), its exception
+    // class lands in "errors", and it is EXCLUDED from "total" — summing
+    // a fail-fast planning exception's 0.2 s would let a regression-to-
+    // failure *improve* the total. A query failing on only SOME reps
+    // reports the min over its SUCCESSFUL reps (a fail-fast rep's
+    // seconds must not masquerade as the reproducible min) and its
+    // failed-rep count lands in "flaky_reps". Cross-round total
+    // comparisons require failed == 0 on both sides.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val runsByRep = (1 to reps).map { _ => named.map { case (_, fn) => once(fn) } }
+    val results = named.zipWithIndex.map { case ((name, _), qi) =>
+      val runs = runsByRep.map(_(qi))
+      val (ok, bad) = runs.partition(_._2.isEmpty)
+      val firstErr = bad.flatMap(_._2).headOption
+      val timed = if (ok.nonEmpty) ok.map(_._1) else runs.map(_._1)
+      (name, timed.min, timed.max, firstErr, ok.nonEmpty, bad.length)
     }
     val qs = results
-      .map { case (k, mn, _, e) => s"\"" + k + "\":" + (if (e.isDefined) -mn else mn) }
+      .map { case (k, mn, _, _, anyOk, _) =>
+        s"\"" + k + "\":" + (if (anyOk) mn else -mn) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx, _) => s"\"" + k + "\":" + mx }
+    val qsMax = results.map { case (k, _, mx, _, _, _) => s"\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, _, _, Some(e), _, _) =>
+        s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, mn, _, None) => mn }.sum
-    val nFailed = results.count(_._4.isDefined)
+    val flaky = results.collect { case (k, _, _, _, true, nf) if nf > 0 =>
+        s"\"" + k + "\":" + nf }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, mn, _, _, true, _) => mn }.sum
+    val nFailed = results.count(!_._5)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failed":$nFailed,"errors":$errs,"flaky_reps":$flaky,"sf":"$sfDir"}"""
     println(line)
     // stdout passes through sbt's logger (an "[info] " prefix) and the
     // driver keeps only a bounded tail — a plain file copy survives both

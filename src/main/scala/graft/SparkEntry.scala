@@ -680,11 +680,13 @@ object SparkEntry {
     */
   private val splitLinesCache = new graft.ops.SessionMemo[String]
 
-  /** One [[SplitAlignment]] construction per (session, dir): building the
-    * Result costs ~4 s of driver-side plan analysis (twenty-odd eagerly
-    * analyzed relations with fat parse-expression trees) — a production
-    * caller constructs it once and reads all four outputs, which is the
-    * shape the three q_split_* queries should share too.
+  /** One [[SplitAlignment]] construction per (session, dir): the Result
+    * is memoized inside SplitAlignment by canonicalized input plan, but
+    * canonicalizing the fat rendered-GFA DAG itself costs real driver
+    * time per lookup — this front memo keys on the cheap (session, dir)
+    * pair instead. Holding Results here is safe: their checkpointed-leaf
+    * intermediates stay valid regardless of the inner memo's LRU (see
+    * SplitAlignment's lifetime note).
     */
   private val splitResultCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), SplitAlignment.Result]

@@ -21,15 +21,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object SplitAlignment {
 
-  /** Hub-relation memo: `intervals` is referenced by six downstream
-    * relations (full/ivMap/chain/nodes/…) and `full` by four — without an
-    * InMemoryRelation boundary the optimizer inlines the whole
-    * breakpoint-collection subtree into every reference (6× recompute of
-    * the one real shuffle at scale; a stage-latency pile-up on small
-    * inputs). Keyed on the canonicalized input plan, LRU-bounded with
-    * unpersist-on-evict ([[graft.ops.SessionMemo]]).
+  /** Result memo, keyed on the canonicalized input plan and LRU-bounded
+    * ([[graft.ops.SessionMemoOf]]): one construction per (session,
+    * input) — a production caller constructs once and reads all four
+    * outputs, and the three q_split_* driver queries share through this.
+    *
+    * Construction MATERIALIZES the parsed record tables and the hub
+    * relations eagerly as checkpointed leaves (localCheckpoint +
+    * fresh-stats leaf, [[graft.graph.Graph]]'s iterative-kernel
+    * pattern): `intervals` is referenced by six downstream relations and
+    * the fat GfaParse expression trees by several each, and a persist()
+    * barrier alone leaves those trees INSIDE every downstream plan — each
+    * query action then re-analyzes hundreds of parse expressions
+    * (measured as the dominant cost of q_split_edges, ~5 s warm at
+    * sf0.1 in round 4). With leaf intermediates, a downstream query's
+    * whole tree is a handful of joins over LogicalRDD leaves: analysis
+    * cost tracks the OPERATOR count, not the parse layer.
+    *
+    * Lifetime: a leaf's cached blocks are freed by Spark's
+    * ContextCleaner once the Result is unreferenced (memo eviction drops
+    * only the memo's reference) — so a caller-held Result can NEVER be
+    * silently degraded to recompute by someone else's eviction, which
+    * the previous per-hub unpersist-on-evict LRU could do.
     */
-  private val hubCache = new graft.ops.SessionMemo[(String, Any)]
+  private val resultCache = new graft.ops.SessionMemoOf[Any, Result](16)
 
   final case class Result(
       nodes: DataFrame,       // (node, seg, start, end, length)
@@ -38,13 +53,26 @@ object SplitAlignment {
       rejectedLinks: DataFrame)
 
   def apply(lines: DataFrame): Result = {
-    val segs = GfaParse.segments(lines).select("id", "length")
-    val ecs = GfaParse.gfa2Edges(lines).unionByName(
+    val planKey: Any = lines.queryExecution.analyzed.canonicalized
+    resultCache.getOrElseUpdate(lines.sparkSession, planKey)(build(lines))
+  }
+
+  /** Eager materialization to a slim leaf: execute once, and every
+    * downstream plan holds a LogicalRDD instead of the subtree
+    * (default-stats leaf via the graftbridge — same pattern as the
+    * iterative graph kernels).
+    */
+  private def leaf(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
+
+  private def build(lines: DataFrame): Result = {
+    val segs = leaf(GfaParse.segments(lines).select("id", "length"))
+    val ecs = leaf(GfaParse.gfa2Edges(lines).unionByName(
       GfaParse.containments(lines).drop("pos"), allowMissingColumns = true)
       .select("from_id", "from_orient", "to_id", "to_orient",
-              "from_start", "from_end", "to_start", "to_end")
-    val links = GfaParse.links(lines)
-      .select("from_id", "from_orient", "to_id", "to_orient")
+              "from_start", "from_end", "to_start", "to_end"))
+    val links = leaf(GfaParse.links(lines)
+      .select("from_id", "from_orient", "to_id", "to_orient"))
 
     // 1. breakpoint set per segment (A10): {0, length} ∪ edge coords
     val segBps = segs.select(col("id").as("seg"),
@@ -64,7 +92,6 @@ object SplitAlignment {
     // INNER join on declared segments: coordinates naming a segment with no
     // S record must NOT mint intervals — such edges are rejects, exactly
     // like the reference's mapping KeyError (builders.py:385-394).
-    val planKey: Any = lines.queryExecution.analyzed.canonicalized
     val withLen = bps.join(segs.withColumnRenamed("id", "seg"), Seq("seg"))
     val intervalsRaw = withLen
       .withColumn("bps2",
@@ -84,24 +111,17 @@ object SplitAlignment {
         concat(col("seg"), lit(":"), col("iv.a"), lit("-"), col("iv.b"))
           .as("node"))
 
-    val intervals = hubCache.getOrElseUpdate(lines.sparkSession,
-      ("intervals", planKey)) {
-      intervalsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val intervals = leaf(intervalsRaw)
 
     // 3. full-span node per segment: interval (0, length) if present, else
     // the first interval (builders.py:365-373)
-    val full = hubCache.getOrElseUpdate(lines.sparkSession,
-      ("full", planKey)) {
-      intervals
-        .withColumn("isFull",
-          col("length").isNotNull && col("a") === 0 && col("b") === col("length"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("seg").orderBy(col("isFull").desc, col("pos"))))
-        .where(col("rank") === 1)
-        .select(col("seg"), col("node").as("full_node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val full = leaf(intervals
+      .withColumn("isFull",
+        col("length").isNotNull && col("a") === 0 && col("b") === col("length"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("seg").orderBy(col("isFull").desc, col("pos"))))
+      .where(col("rank") === 1)
+      .select(col("seg"), col("node").as("full_node")))
 
     // 4. coordinate mapping relation: interval entries + (0,length)→full
     // override + the null-coordinate sentinel → full (dict order:
@@ -122,12 +142,8 @@ object SplitAlignment {
                                col("full_node").as("node"))
     // the coordinate dict analog is the third hub: both rewiring joins
     // (and their left-join reject twins) read it
-    val mapping = hubCache.getOrElseUpdate(lines.sparkSession,
-      ("mapping", planKey)) {
-      ivMap.unionByName(fullAsSpan).unionByName(sentinel)
-        .dropDuplicates("seg", "a", "b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val mapping = leaf(ivMap.unionByName(fullAsSpan).unionByName(sentinel)
+      .dropDuplicates("seg", "a", "b"))
 
     // 5. chain links between consecutive intervals (G6)
     val chain = intervals

@@ -116,25 +116,74 @@ object Ivf {
     * cosine of the query's best centroid (capped at `nprobeMax`). Input
     * `qv` carries (query_id, v). Exposed so callers/evidence tools can
     * measure the probed-candidate volume — the scale-honest cost metric.
+    *
+    * Exact-fallback tier (`fallbackMargin` ≥ 0): a query whose margin
+    * band OVERFLOWS the `nprobeMax` cap — its (nprobeMax+1)-th nearest
+    * centroid is still within `fallbackMargin` of its best — is so
+    * boundary-ambiguous that capped probing has no recall story left;
+    * such queries probe EVERY cluster (exact search for that query
+    * only). On a clustered corpus the band never overflows and the
+    * fallback costs nothing; on an adversarially uniform corpus it
+    * bounds the recall loss at the price of brute for the overflow
+    * fraction — which [[fallbackQueries]] exposes as a counted side
+    * output (the no-silent-caps rule).
     */
   def probeAssignments(qv: DataFrame, centroids: DataFrame, nprobe: Int,
                        nprobeMax: Int = -1,
-                       escalateMargin: Double = 0.05): DataFrame = {
+                       escalateMargin: Double = 0.05,
+                       fallbackMargin: Double = -1.0): DataFrame = {
     val npMax = math.max(nprobe, nprobeMax)
+    val exploded = probeTops(qv, centroids, npMax, fallbackMargin)
+    val normal = exploded
+      .where(col("pos") < nprobe ||
+             (col("pos") < npMax &&
+              col("e.col1") - col("best_neg") <= escalateMargin))
+      .select(col("query_id"), col("e.cluster_id").as("cluster_id"))
+    if (fallbackMargin < 0) normal
+    else {
+      val fb = fallbackFrom(exploded, npMax, fallbackMargin)
+      normal.join(fb, Seq("query_id"), "left_anti")
+        .unionByName(fb.crossJoin(broadcast(centroids.select(col("cluster_id")))))
+    }
+  }
+
+  /** Shared top-centroid explode: one extra element beyond the cap is
+    * collected iff the fallback tier is on (the overflow probe).
+    * `pos` is 0-based; `best_neg`/`e.col1` carry −csim, so
+    * (e.col1 − best_neg) is the similarity margin to the query's best.
+    */
+  private def probeTops(qv: DataFrame, centroids: DataFrame, npMax: Int,
+                        fallbackMargin: Double): DataFrame = {
+    val take = if (fallbackMargin >= 0) npMax + 1 else npMax
     qv.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("cluster_id"),
               cos(col("v"), col("centroid")).as("csim"))
       .groupBy("query_id")
       .agg(expr(
-        s"slice(array_sort(collect_list(struct(-csim, cluster_id))), 1, $npMax)")
+        s"slice(array_sort(collect_list(struct(-csim, cluster_id))), 1, $take)")
         .as("top"))
-      // top is ascending in -csim; col1 = -csim, so (col1 - top[0].col1)
-      // is the query's similarity margin to its best centroid
       .select(col("query_id"), col("top")(0).getField("col1").as("best_neg"),
               posexplode(col("top")).as(Seq("pos", "e")))
-      .where(col("pos") < nprobe ||
-             col("e.col1") - col("best_neg") <= escalateMargin)
-      .select(col("query_id"), col("e.cluster_id").as("cluster_id"))
+  }
+
+  private def fallbackFrom(exploded: DataFrame, npMax: Int,
+                           fallbackMargin: Double): DataFrame =
+    exploded
+      .where(col("pos") === npMax &&
+             col("e.col1") - col("best_neg") <= fallbackMargin)
+      .select(col("query_id"))
+
+  /** Counted side output of the exact-fallback tier: the queries whose
+    * escalated probe band overflowed `nprobeMax` within `fallbackMargin`
+    * and therefore fell back to exact search ([[probeAssignments]]).
+    */
+  def fallbackQueries(qv: DataFrame, centroids: DataFrame, nprobe: Int,
+                      nprobeMax: Int = -1,
+                      escalateMargin: Double = 0.05,
+                      fallbackMargin: Double = 0.05): DataFrame = {
+    val npMax = math.max(nprobe, nprobeMax)
+    fallbackFrom(probeTops(qv, centroids, npMax, fallbackMargin),
+                 npMax, fallbackMargin)
   }
 
   /** Convenience overload: trains (on the sample) and searches in one
@@ -146,12 +195,13 @@ object Ivf {
               idCol: String = "vec_id", vecCol: String = "embedding",
               nClusters: Int = 16, nprobe: Int = 4, iters: Int = 3,
               simDecimals: Int = -1, sampleFactor: Int = 100,
-              nprobeMax: Int = -1, escalateMargin: Double = 0.05): DataFrame =
+              nprobeMax: Int = -1, escalateMargin: Double = 0.05,
+              fallbackMargin: Double = -1.0): DataFrame =
     ivfTopKWith(corpus, queries,
                 trainCentroids(corpus, idCol, vecCol, nClusters, iters,
                                sampleFactor),
                 k, idCol, vecCol, nprobe, simDecimals, nprobeMax,
-                escalateMargin)
+                escalateMargin, fallbackMargin)
 
   /** IVF approximate top-k against a PRE-TRAINED centroid table: probe
     * the `nprobe` nearest inverted lists per query, exact cosine rerank
@@ -175,11 +225,12 @@ object Ivf {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   nprobe: Int = 4, simDecimals: Int = -1,
                   nprobeMax: Int = -1,
-                  escalateMargin: Double = 0.05): DataFrame =
+                  escalateMargin: Double = 0.05,
+                  fallbackMargin: Double = -1.0): DataFrame =
     ivfTopKWithLists(corpus, queries, centroids,
                      invertedLists(corpus, centroids, idCol, vecCol), k,
                      idCol, vecCol, nprobe, simDecimals, nprobeMax,
-                     escalateMargin)
+                     escalateMargin, fallbackMargin)
 
   /** The documented train-once/search-many deployment shape, now directly
     * callable: both index halves — the centroid table from
@@ -194,10 +245,12 @@ object Ivf {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        nprobe: Int = 4, simDecimals: Int = -1,
                        nprobeMax: Int = -1,
-                       escalateMargin: Double = 0.05): DataFrame =
+                       escalateMargin: Double = 0.05,
+                       fallbackMargin: Double = -1.0): DataFrame =
     rerankTopK(corpus, queries,
                candidatePairs(queries, centroids, lists, idCol, vecCol,
-                              nprobe, nprobeMax, escalateMargin),
+                              nprobe, nprobeMax, escalateMargin,
+                              fallbackMargin),
                k, idCol, vecCol, simDecimals)
 
   /** The probed candidate set (query_id, nbr_id): each query's escalated
@@ -213,10 +266,11 @@ object Ivf {
                      lists: DataFrame,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      nprobe: Int = 4, nprobeMax: Int = -1,
-                     escalateMargin: Double = 0.05): DataFrame = {
+                     escalateMargin: Double = 0.05,
+                     fallbackMargin: Double = -1.0): DataFrame = {
     val probes = probeAssignments(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
-      centroids, nprobe, nprobeMax, escalateMargin)
+      centroids, nprobe, nprobeMax, escalateMargin, fallbackMargin)
     // no broadcast hints on probes: with corpus-as-queries both sides are
     // corpus-sized (a forced broadcast would hit the 8 GB limit / driver
     // OOM long before corpus scale); AQE broadcasts small query batches

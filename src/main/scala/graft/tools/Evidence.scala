@@ -59,9 +59,17 @@ object Evidence {
     val pb = new ProcessBuilder("python3", "-c", script, gfa)
     pb.redirectErrorStream(false)
     val proc = pb.start()
+    // drain stderr CONCURRENTLY: reading stdout to EOF first would
+    // deadlock both processes if the child filled the stderr pipe buffer
+    // (a python traceback easily exceeds 64 KiB) before closing stdout
+    @volatile var err = ""
+    val errDrain = new Thread(() =>
+      err = new String(proc.getErrorStream.readAllBytes(), "UTF-8"))
+    errDrain.setDaemon(true)
+    errDrain.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
     val code = proc.waitFor()
+    errDrain.join(10000)
     if (code != 0 || out.isEmpty)
       s"""{"metric":"head_to_head_reference","file":"$gfa","error":"exit $code: ${
         err.linesIterator.take(1).mkString.replace("\"", "'")}"}"""

@@ -88,37 +88,53 @@ object IvfTune {
     cents.count()
     val trainSec = (System.nanoTime() - tTrain0) / 1e9
 
+    // materialize the inverted lists once (timed separately): the grid
+    // below runs ivfTopKWithLists against them, so "search_sec" is the
+    // per-batch SEARCH-ONLY cost of the amortized train-once/assign-once
+    // deployment — corpus re-assignment no longer rides every config
+    val tAssign0 = System.nanoTime()
+    val lists = Ivf.invertedLists(e, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lists.count()
+    val assignSec = (System.nanoTime() - tAssign0) / 1e9
+
     val grid = sys.env.getOrElse("GRAFT_IVF_GRID",
       // fixed-8 baseline, the shipped driver config (8→16 @ 0.35), the
-      // wider/cheaper corners that informed it, and fixed-16 for contrast
-      "8:8:0.0,8:16:0.3,8:16:0.35,8:24:0.3,16:16:0.0")
+      // wider/cheaper corners that informed it, fixed-16 for contrast,
+      // and the exact-fallback tier (4th field = fallback margin:
+      // overflow queries probe everything) at a tight cap
+      "8:8:0.0,8:16:0.3,8:16:0.35,8:24:0.3,16:16:0.0,8:16:0.35:0.35")
     grid.split(",").foreach { cfg =>
-      val Array(np, npMax, margin) = cfg.split(":")
+      val f = cfg.split(":")
+      val (np, npMax, margin) = (f(0), f(1), f(2))
+      val fbMargin = if (f.length > 3) f(3).toDouble else -1.0
       val (sec, arr) = timed(pairs(
-        Ivf.ivfTopKWith(e, e, cents, k, nprobe = np.toInt,
-                        simDecimals = 6, nprobeMax = npMax.toInt,
-                        escalateMargin = margin.toDouble)
+        Ivf.ivfTopKWithLists(e, e, cents, lists, k, nprobe = np.toInt,
+                             simDecimals = 6, nprobeMax = npMax.toInt,
+                             escalateMargin = margin.toDouble,
+                             fallbackMargin = fbMargin)
           .select("query_id", "nbr_id")))
       val recall = arr.count(brute.contains).toDouble / brute.size
       // scale-honest cost: candidate rows actually scored (probed cluster
       // sizes summed over queries) as a fraction of brute's n² — immune
       // to the host's wall-clock noise
       val n = e.count().toDouble
-      val sizes = Ivf.invertedLists(e, cents)
+      val sizes = lists
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
       val cand = Ivf.probeAssignments(
           e.select(col("vec_id").as("query_id"), col("embedding").as("v")),
-          cents, np.toInt, npMax.toInt, margin.toDouble)
+          cents, np.toInt, npMax.toInt, margin.toDouble, fbMargin)
         .join(sizes, Seq("cluster_id"))
         .agg(sum("sz")).head().getLong(0).toDouble
       val frac = cand / (n * n)
       println(f"""{"metric":"ivf_tune","n_clusters":$nc,"iters":$it,""" +
         f""""sample_factor":$sfac,"nprobe":$np,"nprobe_max":$npMax,""" +
-        f""""margin":$margin,"recall":$recall%.3f,""" +
+        f""""margin":$margin,"fallback_margin":$fbMargin,"recall":$recall%.3f,""" +
         f""""candidate_frac":$frac%.3f,"search_sec":$sec%.2f,""" +
-        f""""train_sec":$trainSec%.2f,"brute_sec":$bruteSec%.2f,""" +
+        f""""train_sec":$trainSec%.2f,"assign_sec":$assignSec%.2f,""" +
+        f""""brute_sec":$bruteSec%.2f,""" +
         f""""search_vs_brute":${sec / bruteSec}%.2f,""" +
-        f""""total_vs_brute":${(sec + trainSec) / bruteSec}%.2f}""")
+        f""""total_vs_brute":${(sec + trainSec + assignSec) / bruteSec}%.2f}""")
     }
     spark.stop()
   }

@@ -30,6 +30,37 @@ class SessionMemoSpec extends SparkSuite {
     assert(rebuilt)
   }
 
+  test("a slow build on one key does not block other keys (per-key locks)") {
+    val memo = new SessionMemoOf[Int, String]()
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() =>
+      memo.getOrElseUpdate(spark, 1) {
+        slowEntered.countDown(); release.await(); "slow"
+      })
+    slow.start()
+    slowEntered.await()
+    // with the old memo-wide monitor this deadlocked until `release`
+    val fastDone = new java.util.concurrent.CountDownLatch(1)
+    val fast = new Thread(() => {
+      memo.getOrElseUpdate(spark, 2)("fast"); fastDone.countDown()
+    })
+    fast.start()
+    assert(fastDone.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "independent key blocked behind an in-flight build")
+    release.countDown(); slow.join(5000)
+    assert(memo.getOrElseUpdate(spark, 1)(fail("rebuilt")) == "slow")
+  }
+
+  test("concurrent requests for one key run build exactly once") {
+    val memo = new SessionMemoOf[Int, Integer]()
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      memo.getOrElseUpdate(spark, 42) { Integer.valueOf(n.incrementAndGet()) }))
+    threads.foreach(_.start()); threads.foreach(_.join(5000))
+    assert(n.get() == 1)
+  }
+
   test("invalidate drops the entry and a rebuild happens on next access") {
     val memo = new SessionMemo[String]()
     memo.getOrElseUpdate(spark, "k")(persisted(7))

@@ -152,6 +152,44 @@ class KnnSpec extends SparkSuite {
     assert(perQuery.count() == 90)
   }
 
+  test("IVF exact-fallback tier: recall ≥ 0.9 on demand on the uniform corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val brute = pairs(Knn.bruteTopK(uniformVecs, uniformVecs, 5,
+                                    simDecimals = 6))
+    val cents = Ivf.trainCentroids(uniformVecs, nClusters = 16, iters = 2,
+                                   sampleFactor = 12)
+    // tight probe cap → the 0.35 margin band overflows for most queries
+    // on the uniform corpus → they fall back to exact, so recall clears
+    // 0.9 even where capped adaptive probing could not
+    val ivf = pairs(Ivf.ivfTopKWith(uniformVecs, uniformVecs, cents, 5,
+      nprobe = 2, simDecimals = 6, nprobeMax = 3, escalateMargin = 0.35,
+      fallbackMargin = 0.35))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"fallback-tier IVF recall $recall")
+    val nFallback = Ivf.fallbackQueries(
+      uniformVecs.select(col("vec_id").as("query_id"),
+                         col("embedding").as("v")),
+      cents, nprobe = 2, nprobeMax = 3, escalateMargin = 0.35,
+      fallbackMargin = 0.35).count()
+    assert(nFallback > 0, "expected overflow queries on the uniform corpus")
+  }
+
+  test("IVF exact-fallback tier is free on CLUSTERED data") {
+    val cents = Ivf.trainCentroids(vecs, nClusters = 3, iters = 2)
+    val qv = vecs.select(col("vec_id").as("query_id"),
+                         col("embedding").as("v"))
+    assert(Ivf.fallbackQueries(qv, cents, nprobe = 1, nprobeMax = 2,
+                               escalateMargin = 0.35,
+                               fallbackMargin = 0.35).isEmpty)
+    // with no overflow, the probe set is identical with the tier on/off
+    val without = Ivf.probeAssignments(qv, cents, 1, 2, 0.35)
+    val withFb = Ivf.probeAssignments(qv, cents, 1, 2, 0.35,
+                                      fallbackMargin = 0.35)
+    assert(withFb.exceptAll(without).isEmpty &&
+           without.exceptAll(withFb).isEmpty)
+  }
+
   test("IVF inverted lists cover the corpus and centroids are trained") {
     val cents = Ivf.trainCentroids(vecs, nClusters = 6, iters = 2)
     val n = cents.count()
