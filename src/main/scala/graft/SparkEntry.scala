@@ -484,20 +484,24 @@ object SparkEntry {
     // corpus snapshot, reused across query batches). The hash stage
     // itself stays pinned by planted fixtures (DedupSpec/KnnSpec).
     "q_doc_fingerprints" -> ((s, dir) => {
-      val grams = graft.ops.OracleSig.materialize(s, dir, "fp_grams")(
+      val grams = graft.ops.OracleSig.materialize(s, dir, "fp_grams",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
         TextAnalysis.gramHashes(docs(s, dir), "doc_id", "text", k = 8))
       TextAnalysis.winnowFromGrams(docs(s, dir), grams, "doc_id", w = 4)
         .select(col("doc_id"), size(col("fp")).as("n_fp"))
     }),
     "q_minhash_neardups" -> ((s, dir) => {
-      val sh = graft.ops.OracleSig.materialize(s, dir, "mh_sh")(
+      val sh = graft.ops.OracleSig.materialize(s, dir, "mh_sh",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
         Dedup.shingleTable(docs(s, dir), "doc_id", "text", shingleK = 5))
-      val bands = graft.ops.OracleSig.materialize(s, dir, "mh_bands")(
+      val bands = graft.ops.OracleSig.materialize(s, dir, "mh_bands",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
         Dedup.minhashBands(sh, numHashes = 32, bands = 8))
       Dedup.minhashRankedFrom(sh, bands, limit = 200)
     }),
     "q_simhash_neardups" -> ((s, dir) => {
-      val sigs = graft.ops.OracleSig.materialize(s, dir, "sim_sigs")(
+      val sigs = graft.ops.OracleSig.materialize(s, dir, "sim_sigs",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
         Dedup.simhash(docs(s, dir), "doc_id", "text"))
       Dedup.simhashNearDupsFrom(sigs, maxHamming = 16)
     }),
@@ -505,7 +509,8 @@ object SparkEntry {
       // ranked form: best LSH-candidate pairs by cosine (thresholded form
       // is Dedup.embeddingNearDups; synthetic corpus has no >0.8 dups)
       val e = emb(s, dir)
-      val sigs = graft.ops.OracleSig.materialize(s, dir, "vec_sigs")(
+      val sigs = graft.ops.OracleSig.materialize(s, dir, "vec_sigs",
+          graft.ops.OracleSig.embFp(emb(s, dir)))(
         Knn.lshSignatures(e, "vec_id", "embedding", bits = 32))
       Dedup.embeddingNearDupsFromSigs(e, sigs, threshold = -1.0)
         .orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(100)
@@ -524,7 +529,8 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       // same materialized signature table as q_emb_neardups (vec_sigs)
-      val sigs = graft.ops.OracleSig.materialize(s, dir, "vec_sigs")(
+      val sigs = graft.ops.OracleSig.materialize(s, dir, "vec_sigs",
+          graft.ops.OracleSig.embFp(emb(s, dir)))(
         Knn.lshSignatures(e, "vec_id", "embedding", bits = 32))
       Knn.lshTopKFromSigs(e, sigs, 5, simDecimals = 6)
         .select("query_id", "nbr_id", "rank")
@@ -544,7 +550,8 @@ object SparkEntry {
       // materialized candidate set is what the rerank (and the oracle's
       // recomputation of it) reads — its row count is exactly the
       // candidate-volume cost metric IvfTune reports
-      val cands = graft.ops.OracleSig.materialize(s, dir, "ivf_cands") {
+      val cands = graft.ops.OracleSig.materialize(s, dir, "ivf_cands",
+          graft.ops.OracleSig.embFp(emb(s, dir))) {
         val cents = Ivf.trainCentroids(e, nClusters = 32, iters = 2,
                                        sampleFactor = 25)
         Ivf.candidatePairs(e, cents, Ivf.invertedLists(e, cents),
@@ -1322,16 +1329,18 @@ object SparkEntry {
 
     // --- post-hash oracles: the xxhash64 signature stages cannot be
     // reproduced in DuckDB, but the queries materialize them to
-    // deterministic parquet ([[graft.ops.OracleSig]]; paths below point
-    // at the sf0.01 correctness-gate tag) and compute their results FROM
-    // the written tables — so the oracle reads the same bytes and
+    // deterministic per-sf parquet ([[graft.ops.OracleSig]]) and compute
+    // their results FROM the written tables — so the oracle reads the
+    // same bytes (multi-tag glob filtered by the corpus fingerprint each
+    // row was stamped with, making the compare exact at EVERY sf) and
     // recomputes the entire post-hash pipeline (banding joins, caps,
     // hamming/jaccard/cosine verification, winnowing, ranking)
     // independently. The hash stages stay pinned by planted fixtures
     // (DedupSpec / KnnSpec).
     "q_doc_fingerprints" ->
       s"""WITH g AS (SELECT doc_id, pos, h
-         |           FROM read_parquet('${sigGlob("fp_grams")}')),
+         |           FROM read_parquet('${sigGlob("fp_grams")}')
+         |           WHERE corpus_fp = $docsFpSql),
          |w AS (SELECT doc_id, pos,
          |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
@@ -1344,13 +1353,15 @@ object SparkEntry {
     "q_minhash_neardups" ->
       s"""WITH b AS (SELECT id, band, band_hash
          |           FROM read_parquet('${sigGlob("mh_bands")}')
+         |           WHERE corpus_fp = $docsFpSql
          |           QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash)
          |                   <= ${Dedup.DefaultMaxBucket}),
          |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
          |         FROM b x JOIN b y
          |           ON x.band = y.band AND x.band_hash = y.band_hash
          |         WHERE x.id < y.id),
-         |sh AS (SELECT id, sh FROM read_parquet('${sigGlob("mh_sh")}')),
+         |sh AS (SELECT id, sh FROM read_parquet('${sigGlob("mh_sh")}')
+         |       WHERE corpus_fp = $docsFpSql),
          |v AS (SELECT id_a, id_b,
          |        CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
          |        (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh)))
@@ -1360,7 +1371,8 @@ object SparkEntry {
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin,
     "q_simhash_neardups" ->
       s"""WITH s AS (SELECT id, simhash
-         |           FROM read_parquet('${sigGlob("sim_sigs")}')),
+         |           FROM read_parquet('${sigGlob("sim_sigs")}')
+         |           WHERE corpus_fp = $docsFpSql),
          |c AS (SELECT id, simhash, ci AS chunk,
          |             (simhash >> (ci * 16)) & 65535 AS chunk_val
          |      FROM s, UNNEST(generate_series(0, 3)) AS t(ci)
@@ -1375,7 +1387,8 @@ object SparkEntry {
          |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 16""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH sig AS (SELECT id, sig
-         |             FROM read_parquet('${sigGlob("vec_sigs")}')),
+         |             FROM read_parquet('${sigGlob("vec_sigs")}')
+         |             WHERE corpus_fp = $embFpSql),
          |ch AS (SELECT id, ci AS chunk, (sig >> (ci * 8)) & 255 AS chunk_val
          |       FROM sig, UNNEST(generate_series(0, 3)) AS t(ci)),
          |corp AS (SELECT id, chunk, chunk_val FROM ch
@@ -1399,7 +1412,8 @@ object SparkEntry {
          |WHERE rank <= 5""".stripMargin,
     "q_emb_neardups" ->
       s"""WITH sig AS (SELECT id, sig
-         |             FROM read_parquet('${sigGlob("vec_sigs")}')),
+         |             FROM read_parquet('${sigGlob("vec_sigs")}')
+         |             WHERE corpus_fp = $embFpSql),
          |ch AS (SELECT id, ci AS chunk, (sig >> (ci * 8)) & 255 AS chunk_val
          |       FROM sig, UNNEST(generate_series(0, 3)) AS t(ci)
          |       QUALIFY COUNT(*) OVER (PARTITION BY chunk, chunk_val)
@@ -1419,7 +1433,8 @@ object SparkEntry {
          |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q_knn_ivf" ->
       s"""WITH cand AS (SELECT query_id, nbr_id
-         |              FROM read_parquet('${sigGlob("ivf_cands")}')),
+         |              FROM read_parquet('${sigGlob("ivf_cands")}')
+         |              WHERE corpus_fp = $embFpSql),
          |scored AS (SELECT cand.query_id, cand.nbr_id,
          |             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
          |             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
@@ -1441,4 +1456,13 @@ object SparkEntry {
     */
   private def sigGlob(table: String): String =
     graft.ops.OracleSig.oracleGlob(table)
+
+  /** Corpus-fingerprint scalars the six post-hash oracles filter the
+    * multi-tag signature glob by — lockstep with the `corpus_fp` column
+    * [[graft.ops.OracleSig.materialize]] stamps at write time, so each
+    * oracle picks exactly the rows derived from ITS corpus regardless of
+    * which sf the compare runs at.
+    */
+  private val docsFpSql = graft.ops.OracleSig.docsFpSql
+  private val embFpSql = graft.ops.OracleSig.embFpSql
 }
