@@ -796,6 +796,20 @@ object SparkEntry {
     })
   }
 
+  /** Recursive delete-on-JVM-exit for per-invocation stream workdirs
+    * (parquet sink + checkpoint, ~kilobytes each — but unbounded across
+    * rounds without cleanup).
+    */
+  private def deleteOnExit(p: java.nio.file.Path): String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Conv-id pattern of the driver-fed streaming subset: single-digit
     * users — 10 users, ~700 turns at EVERY shipped sf (volume grows with
     * the day span, never the table), so the driver feed stays kilobytes
@@ -889,7 +903,11 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ms = MemoryStream[graft.schema.Turn](
       org.apache.spark.sql.Encoders.product[graft.schema.Turn], s.sqlContext)
-    val root = java.nio.file.Files.createTempDirectory(tag).toString
+    // a FRESH checkpoint per invocation is required (a reused one would
+    // try to resume past offsets a new MemoryStream doesn't hold), so the
+    // dir can't be a fixed path — register it for deletion on JVM exit
+    // instead, bounding /tmp across rounds
+    val root = deleteOnExit(java.nio.file.Files.createTempDirectory(tag))
     val out = s"$root/out"
     val ckpt = s"$root/ckpt"
     val parts = graft.stream.StatePartitions.forVolume(rows.length, minParts = 2)
