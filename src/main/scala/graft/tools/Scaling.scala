@@ -140,12 +140,18 @@ object Scaling {
     val csrSec = if (!jobs("csr")) -1.0 else (1 to 2).map { i =>
       import spark.implicits._
       val t3 = System.nanoTime()
-      val q = graft.stream.CsrState.attachSalted(
-          spark.readStream.schema(schema).option("maxFilesPerTrigger", csrFpt)
-            .parquet(inputDir).as[graft.schema.Turn], "1 hour")
-        .toDF().writeStream.format("noop")
-        .option("checkpointLocation", s"$workDir/ckpt_csr_$i")
-        .start()
+      // same state-partition scoping as the session job: partitions track
+      // keyed-state volume (SPARK_GRAFT_STATE_PARTS pins them for
+      // matched-job N-vs-4N runs), not the analytics core count
+      val q = graft.stream.StatePartitions.scoped(spark,
+        if (stateParts > 0) stateParts else cpus) {
+        graft.stream.CsrState.attachSalted(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", csrFpt)
+              .parquet(inputDir).as[graft.schema.Turn], "1 hour")
+          .toDF().writeStream.format("noop")
+          .option("checkpointLocation", s"$workDir/ckpt_csr_$i")
+          .start()
+      }
       q.processAllAvailable(); q.stop()
       (System.nanoTime() - t3) / 1e9
     }.min
