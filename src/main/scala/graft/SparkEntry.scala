@@ -184,6 +184,36 @@ object SparkEntry {
           .select(col("conv_id"), col("n_turns"), col("n_edges"),
                   col("min_idx"), col("max_idx"), col("contiguous"))
     }),
+    // T4 under the driver oracle (round-5): the tumbling per-tool rate on
+    // its ACTUAL micro-batch path — and with EXACT distinct conversation
+    // counts, via chained stateful window aggregations
+    // ([[graft.stream.CepQueries.turnRateExactDistinct]]): streaming aggs
+    // cannot run countDistinct, so stage 1 collapses (window, tool,
+    // conv_id) and stage 2 re-windows on window_time and counts the
+    // collapsed rows. The oracle is the same COUNT(DISTINCT conv_id)
+    // SQL as q_turn_rate restricted to the fed subset — the approx-HLL
+    // compromise of the plain streaming form is not inherited. Sentinel
+    // rows carry no conv_id here; they are dropped by event time (the
+    // ≥48 h sentinel gap puts their windows past every real one), and
+    // stage-2 finalization lags the watermark by one batch → 3 sentinels.
+    "q_stream_rate" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        Rates.tumblingPerTool(T(s, dir), "1 hour")
+          .select("window_start", "tool", "n_turns", "n_convs").limit(0)
+      else {
+        val maxRealTs = new java.sql.Timestamp(rows.last.ts.getTime)
+        runStream(s, rows, "q_stream_rate", nSentinels = 3,
+                  dropSentinelRows =
+                    _.where(col("window_start") <= lit(maxRealTs))) { src =>
+          graft.stream.CepQueries
+            .turnRateExactDistinct(src, watermark = "10 minutes",
+                                   width = "1 hour")
+        }
+          .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+                  col("tool"), col("n_turns"), col("n_convs"))
+      }
+    }),
     "q_turn_rate" -> ((s, dir) => Rates.tumblingPerTool(T(s, dir), "1 hour")),
     "q_role_cube" -> ((s, dir) => Rates.roleToolCube(T(s, dir))),
     "q_pairing" -> ((s, dir) => Pairing.userAssistant(T(s, dir))),
@@ -498,6 +528,24 @@ object SparkEntry {
           graft.ops.OracleSig.docsFp(docs(s, dir)))(
         Dedup.minhashBands(sh, numHashes = 32, bands = 8))
       Dedup.minhashRankedFrom(sh, bands, limit = 200)
+    }),
+    // near-dup CLUSTERS (round-5): connected components over the verified
+    // MinHash pair graph → one row per multi-doc cluster with the
+    // canonical keeper (longest text, ties → lowest id) and the bytes a
+    // keep-one-per-cluster pass deletes — the cluster-level shape a
+    // training-data dedup actually acts on (A≈B≈C cluster together even
+    // when jaccard(A,C) is below threshold). Same materialized signature
+    // tables as q_minhash_neardups; the oracle recomputes pairs from the
+    // same parquet and clusters them with a recursive min-label CTE.
+    "q_dup_clusters" -> ((s, dir) => {
+      val sh = graft.ops.OracleSig.materialize(s, dir, "mh_sh",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
+        Dedup.shingleTable(docs(s, dir), "doc_id", "text", shingleK = 5))
+      val bands = graft.ops.OracleSig.materialize(s, dir, "mh_bands",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
+        Dedup.minhashBands(sh, numHashes = 32, bands = 8))
+      Dedup.clustersFromPairs(
+        Dedup.minhashNearDupsFrom(sh, bands, threshold = 0.5), docs(s, dir))
     }),
     "q_simhash_neardups" -> ((s, dir) => {
       val sigs = graft.ops.OracleSig.materialize(s, dir, "sim_sigs",
@@ -861,7 +909,14 @@ object SparkEntry {
     */
   private def runStream(s: SparkSession, rows: Array[graft.schema.Turn],
                         tag: String, nSentinels: Int,
-                        sentinelGapMs: Long = 48L * 3600 * 1000)(
+                        sentinelGapMs: Long = 48L * 3600 * 1000,
+                        // how to strip the sentinel turns' own rows from
+                        // the sink table — aggregates that do not carry
+                        // conv_id (q_stream_rate) filter on event time
+                        // instead (the ≥48 h sentinel gap guarantees no
+                        // real window/state entry overlaps a sentinel's)
+                        dropSentinelRows: DataFrame => DataFrame =
+                          _.where(col("conv_id") =!= StreamSentinelConv))(
       build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ms = MemoryStream[graft.schema.Turn](
@@ -883,7 +938,7 @@ object SparkEntry {
         q.processAllAvailable()
       }
     } finally q.stop()
-    s.table(name).where(col("conv_id") =!= StreamSentinelConv)
+    dropSentinelRows(s.table(name))
   }
 
   /** [[runStream]] with a kill/restart in the middle: batch 1 runs under
@@ -1013,6 +1068,13 @@ object SparkEntry {
          |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
          |       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS contiguous
          |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),
+    // q_turn_rate's SQL over the fed subset — COUNT(DISTINCT conv_id) is
+    // EXACT on both sides: the Spark side gets exactness on the streaming
+    // path from the chained two-level window aggregation
+    "q_stream_rate" -> tsql(
+      s"""SELECT date_trunc('hour', ts) AS window_start, tool,
+         |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
+         |FROM turns $streamFeedWhere GROUP BY 1, 2""".stripMargin),
     "q_turn_rate" -> tsql(
       """SELECT date_trunc('hour', ts) AS window_start, tool,
         |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
@@ -1387,6 +1449,46 @@ object SparkEntry {
          |      FROM cand JOIN sh a ON a.id = id_a JOIN sh c ON c.id = id_b)
          |SELECT id_a, id_b, jaccard FROM v
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin,
+    // q_minhash_neardups' pair pipeline (same materialized signatures,
+    // thresholded instead of ranked) + a recursive min-label clustering
+    // and the keeper/bytes-saved rollup
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE b AS (SELECT id, band, band_hash
+         |           FROM read_parquet('${sigGlob("mh_bands")}')
+         |           WHERE corpus_fp = $docsFpSql
+         |           QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash)
+         |                   <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |         FROM b x JOIN b y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash
+         |         WHERE x.id < y.id),
+         |sh AS (SELECT id, sh FROM read_parquet('${sigGlob("mh_sh")}')
+         |       WHERE corpus_fp = $docsFpSql),
+         |p AS (SELECT id_a, id_b FROM (
+         |        SELECT id_a, id_b,
+         |          CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+         |          (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh)))
+         |            AS jaccard
+         |        FROM cand JOIN sh a ON a.id = id_a JOIN sh c ON c.id = id_b)
+         |      WHERE jaccard >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM e
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+         |),
+         |lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |sized AS (SELECT cluster_id, lab.doc_id,
+         |                 octet_length(encode(text)) AS n_bytes
+         |          FROM lab JOIN documents USING (doc_id)),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_bytes DESC, doc_id ASC) AS rn FROM sized)
+         |SELECT cluster_id, COUNT(*) AS n_docs,
+         |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |       CAST(SUM(n_bytes) - MAX(n_bytes) AS BIGINT) AS dup_bytes
+         |FROM ranked GROUP BY cluster_id""".stripMargin,
     "q_simhash_neardups" ->
       s"""WITH s AS (SELECT id, simhash
          |           FROM read_parquet('${sigGlob("sim_sigs")}')

@@ -48,6 +48,34 @@ object CepQueries {
               col("n_turns"), col("n_convs_approx"))
   }
 
+  /** T4's exact-distinct form: per-window/tool turn counts with EXACT
+    * conversation counts on the streaming path. A streaming aggregation
+    * cannot use `countDistinct`, which is why [[turnRate]] reports an HLL
+    * approximation; this variant CHAINS two stateful window aggregations
+    * (Spark ≥ 3.4 multiple-stateful-operator support) instead: the first
+    * collapses (window, tool, conv_id) — its state is the set of active
+    * (conv, tool) pairs per open window, watermark-bounded — and the
+    * second re-windows on `window_time` (the finalized window's event
+    * time) and counts the collapsed rows, giving COUNT(DISTINCT conv_id)
+    * exactly. Scale shape: both aggregations shuffle on their group keys
+    * with map-side partial aggregation, and the second one's input is
+    * already one row per (window, tool, conv) — independent of turn
+    * volume. The first agg finalizes a window only when the watermark
+    * passes its end, and the second finalizes one batch later, so a
+    * driver flushing with far-future sentinels needs two of them.
+    */
+  def turnRateExactDistinct(turns: DataFrame,
+                            watermark: String = "10 minutes",
+                            width: String = "1 hour"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("tool"), col("conv_id"))
+      .agg(count(lit(1)).as("n_in_conv"))
+      .groupBy(window(window_time(col("w")), width).as("w2"), col("tool"))
+      .agg(sum("n_in_conv").as("n_turns"), count(lit(1)).as("n_convs"))
+      .select(col("w2.start").as("window_start"), col("tool"),
+              col("n_turns"), col("n_convs"))
+
   /** T5/J6 — stateful stream-stream join pairing each user turn with the
     * following assistant turn (CEP query #3; Link-building analog,
     * builders.py:199-256). Both sides watermarked; the time-range

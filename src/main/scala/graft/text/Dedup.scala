@@ -255,6 +255,53 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(limit)
 
+  /** [[minhashNearDups]]'s post-hash half over pre-materialized signature
+    * tables (same contract as [[minhashRankedFrom]]): thresholded
+    * verified pairs (id_a < id_b) — bucket cap, banding self-join, and
+    * Jaccard verify are all hash-free and SQL-oracle-checkable over the
+    * same parquet.
+    */
+  def minhashNearDupsFrom(sh: DataFrame, banded: DataFrame,
+                          threshold: Double,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame =
+    verifyFrom(sh, candidatesFromBands(banded, maxBucket))
+      .where(col("jaccard") >= threshold)
+
+  /** Near-duplicate CLUSTERS from verified pairs: connected components
+    * over the pair graph (near-duplication is transitive only through
+    * chains — A≈B≈C belong together even when jaccard(A,C) is below
+    * threshold, which pair output alone misses), one row per multi-doc
+    * cluster with the canonical keeper (longest text, ties → lowest id)
+    * and the bytes a keep-one-per-cluster dedup pass saves. This is the
+    * cluster-level shape a training-data pipeline actually deletes by.
+    *
+    * Numeric ids ride the component kernel as ZERO-PADDED strings so the
+    * kernel's lexicographic min-label IS the numeric min; the label is
+    * cast back for output. Scale: the pair graph is tiny relative to the
+    * corpus (near-dup pairs only), components run on it — never on the
+    * corpus — and the single corpus-sized join fetches keeper lengths.
+    */
+  def clustersFromPairs(pairs: DataFrame, docs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def pad(c: Column) = format_string("%012d", c)
+    val edges = pairs.select(pad(col("id_a")).as("src"),
+                             pad(col("id_b")).as("dst"))
+    val members = graft.graph.Graph.connectedComponents(edges)
+      .select(col("label").cast("long").as("cluster_id"),
+              col("node").cast("long").as(idCol))
+    val sized = members.join(
+      docs.select(col(idCol), octet_length(col(textCol)).as("n_bytes")),
+      idCol)
+    sized.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+           max_by(col(idCol), struct(col("n_bytes"), -col(idCol)))
+             .as("keep_id"),
+           (sum("n_bytes") - max("n_bytes")).as("dup_bytes"))
+      .select(col("cluster_id"), col("n_docs"), col("keep_id"),
+              col("dup_bytes"))
+  }
+
   /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets the
     * corpus against itself, exact cosine verifies candidates ≥ threshold —
     * the vector-space member of the dedup family (pairs with id_a < id_b).

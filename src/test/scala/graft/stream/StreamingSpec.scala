@@ -60,6 +60,44 @@ class StreamingSpec extends SparkSuite {
     assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
   }
 
+  test("T4 exact-distinct rate: chained streaming window aggs == batch countDistinct") {
+    // the chained two-level aggregation must reproduce EXACT
+    // COUNT(DISTINCT conv_id) on the streaming path — the thing the
+    // single-level streaming agg can only approximate with HLL. Stage-2
+    // finalization lags the watermark by one batch, so flush with a
+    // second (and third) sentinel.
+    val ms = MemoryStream[Turn](
+      implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+    val out = CepQueries.turnRateExactDistinct(
+      ms.toDF(), watermark = "1 minute", width = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName(s"rate_exact_${System.nanoTime()}")
+      .outputMode("append").start()
+    val sorted = data.sortBy(_.ts.getTime)
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    ms.addData(b1); query.processAllAvailable()
+    ms.addData(b2); query.processAllAvailable()
+    (1 to 3).foreach { i =>
+      ms.addData(Seq(sentinel.copy(
+        ts = new Timestamp(maxTs + i * 48L * 3600 * 1000))))
+      query.processAllAvailable()
+    }
+    val s = spark.table(query.name)
+      .where(col("window_start") <= new Timestamp(maxTs))
+      .select("window_start", "tool", "n_turns", "n_convs")
+    val b = spark.createDataset(data).toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tool"))
+      .agg(count(lit(1)).as("n_turns"),
+           countDistinct("conv_id").as("n_convs"))
+      .select(col("w.start").as("window_start"), col("tool"),
+              col("n_turns"), col("n_convs"))
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+    // and the fixture genuinely exercises distinctness (some window has
+    // n_convs < n_turns), otherwise the exactness claim tests nothing
+    assert(b.where(col("n_convs") < col("n_turns")).count() > 0)
+    query.stop()
+  }
+
   test("T3 session windows: streaming append == batch sessions") {
     val (streamed, batch) = runToCompletion(df =>
       CepQueries.sessionStats(df, watermark = "1 minute", gap = "30 minutes"))

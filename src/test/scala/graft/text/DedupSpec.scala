@@ -35,6 +35,24 @@ class DedupSpec extends SparkSuite {
     assert(nd.exists { case (a, b) => (a == 2L) || (b == 2L) })
   }
 
+  test("clustersFromPairs: chains cluster transitively, keeper = longest text") {
+    // A≈B and B≈C but no (A,C) pair — the cluster must still hold all
+    // three (the thing pair-level output misses); a disjoint pair (7,9)
+    // forms its own cluster. Keeper is the longest text, ties → min id.
+    val cdocs = Seq(
+      (1L, "aaaa"), (2L, "aaaaaaaaaa"), (3L, "aaaa"),
+      (7L, "bb"), (9L, "bb"), (8L, "unrelated singleton")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.clustersFromPairs(pairs, cdocs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"),
+         r.getAs[Long]("dup_bytes"))).toMap
+    assert(out.keySet == Set(1L, 7L))       // singleton 8 never appears
+    assert(out(1L) == ((3L, 2L, 8L)))       // keeper = longest (10B); 4+4 dup
+    assert(out(7L) == ((2L, 7L, 2L)))       // tie on length → min id keeps
+  }
+
   test("jaccard: identical docs = 1.0, unrelated < 0.2") {
     val cands = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(docs, cands, "doc_id", "text")
