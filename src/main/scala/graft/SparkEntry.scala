@@ -184,6 +184,55 @@ object SparkEntry {
           .select(col("conv_id"), col("n_turns"), col("n_edges"),
                   col("min_idx"), col("max_idx"), col("contiguous"))
     }),
+    // T6 × T8/T9 (round-5): the flatMapGroupsWithState CSR path KILLED
+    // mid-feed and restarted from its checkpoint — conversations straddle
+    // the restart, so the finals are correct only if the per-key binary
+    // state (the sorted turn-index runs + max event time) re-hydrates
+    // from the state store, the EventTimeTimeout re-arms, and the file
+    // sink stays idempotent on replay. Same oracle as q_stream_csr: a
+    // restart must be invisible. (q_stream_sessions_resume covers the
+    // session-window aggregate's restart; this covers the CUSTOM-state
+    // codec path, which recovers through a different store format.)
+    "q_stream_csr_resume" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        queries("q_csr_agg")(s, dir).limit(0)
+      else
+        runStreamResumed(s, rows, "q_stream_csr_resume", nSentinels = 2,
+                         sentinelGapMs = 14L * 24 * 3600 * 1000) { src =>
+          import s.implicits._
+          graft.stream.CsrState.attach(
+              src.withWatermark("ts", "10 minutes").as[graft.schema.Turn],
+              idleTimeout = "48 hours")
+            .toDF()
+        }
+          .where(col("is_final"))
+          .select(col("conv_id"), col("n_turns"), col("n_edges"),
+                  col("min_idx"), col("max_idx"), col("contiguous"))
+    }),
+    // T4's SLIDING form on its actual micro-batch path (round-5): the
+    // same [[graft.ops.Rates.slidingPerRole]] relation IS the streaming
+    // query — the unified Dataset API means the batch twin's plan builder
+    // runs unchanged over a watermarked stream (each turn lands in
+    // width/slide = 2 windows; state is one row per open (window, role),
+    // finalized as the watermark passes each window's end). Sentinel rows
+    // carry no conv_id in this aggregate → dropped by event time.
+    "q_stream_sliding" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        Rates.slidingPerRole(T(s, dir), "2 hours", "1 hour").limit(0)
+      else {
+        val maxRealTs = new java.sql.Timestamp(rows.last.ts.getTime)
+        runStream(s, rows, "q_stream_sliding", nSentinels = 1,
+                  dropSentinelRows =
+                    _.where(col("window_start") <= lit(maxRealTs))) { src =>
+          Rates.slidingPerRole(src.withWatermark("ts", "10 minutes"),
+                               "2 hours", "1 hour")
+        }
+          .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+                  col("role"), col("n_turns"))
+      }
+    }),
     // T4 under the driver oracle (round-5): the tumbling per-tool rate on
     // its ACTUAL micro-batch path — and with EXACT distinct conversation
     // counts, via chained stateful window aggregations
@@ -546,6 +595,23 @@ object SparkEntry {
         Dedup.minhashBands(sh, numHashes = 32, bands = 8))
       Dedup.clustersFromPairs(
         Dedup.minhashNearDupsFrom(sh, bands, threshold = 0.5), docs(s, dir))
+    }),
+    // the END-TO-END training-data filter funnel (round-5): language ID →
+    // quality gate → exact dedup → near-dup cluster dedup, each stage
+    // filtering the previous stage's survivors, reported as per-stage
+    // doc/byte counts ([[graft.text.CorpusFilter.funnel]]). One corpus
+    // pass computes every per-doc flag; the only corpus-sized shuffle is
+    // the fingerprint window; the near-dup drop list (from the same
+    // materialized MinHash signatures as q_dup_clusters) broadcasts back.
+    "q_corpus_filter" -> ((s, dir) => {
+      val sh = graft.ops.OracleSig.materialize(s, dir, "mh_sh",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
+        Dedup.shingleTable(docs(s, dir), "doc_id", "text", shingleK = 5))
+      val bands = graft.ops.OracleSig.materialize(s, dir, "mh_bands",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
+        Dedup.minhashBands(sh, numHashes = 32, bands = 8))
+      graft.text.CorpusFilter.funnel(docs(s, dir),
+        Dedup.minhashNearDupsFrom(sh, bands, threshold = 0.5))
     }),
     "q_simhash_neardups" -> ((s, dir) => {
       val sigs = graft.ops.OracleSig.materialize(s, dir, "sim_sigs",
@@ -1068,6 +1134,24 @@ object SparkEntry {
          |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
          |       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS contiguous
          |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),
+    // identical oracle to q_stream_csr — the mid-feed kill/restart of the
+    // custom-state path must be invisible in the result
+    "q_stream_csr_resume" -> tsql(
+      s"""SELECT conv_id, CAST(COUNT(*) AS INTEGER) AS n_turns,
+         |       CAST(COUNT(*) - 1 AS INTEGER) AS n_edges,
+         |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
+         |       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS contiguous
+         |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),
+    // q_sliding_rate's SQL over the fed subset — the Spark side runs the
+    // batch relation's plan on the actual micro-batch path
+    "q_stream_sliding" -> tsql(
+      s"""SELECT ws AS window_start, role, COUNT(*) AS n_turns FROM (
+         |  SELECT date_trunc('hour', ts) AS ws, role FROM turns
+         |  $streamFeedWhere
+         |  UNION ALL
+         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, role FROM turns
+         |  $streamFeedWhere
+         |) GROUP BY 1, 2""".stripMargin),
     // q_turn_rate's SQL over the fed subset — COUNT(DISTINCT conv_id) is
     // EXACT on both sides: the Spark side gets exactness on the streaming
     // path from the chained two-level window aggregation
@@ -1489,6 +1573,82 @@ object SparkEntry {
          |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
          |       CAST(SUM(n_bytes) - MAX(n_bytes) AS BIGINT) AS dup_bytes
          |FROM ranked GROUP BY cluster_id""".stripMargin,
+    // the whole funnel recomputed independently: per-doc lang/quality
+    // flags and the exact-dedup keeper window in SQL, near-dup drops via
+    // the q_dup_clusters pair pipeline restricted to exact-stage
+    // survivors, then one UNION ALL row per stage
+    "q_corpus_filter" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER)
+         |           AS n_tokens,
+         |         CAST(len(regexp_extract_all(lower(text),
+         |           '\\b(the|a|an|and|of|to|in|is|it|that|for|on|with|as)\\b'))
+         |           AS INTEGER) AS n_stop
+         |  FROM documents),
+         |flags AS (
+         |  SELECT doc_id, n_bytes,
+         |         (n_stop * 25 >= n_tokens) AS ok_lang,
+         |         (n_tokens >= 5 AND LENGTH(text) <= n_tokens * 20
+         |          AND n_stop * 50 >= n_tokens) AS ok_quality,
+         |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |           AS fp
+         |  FROM base),
+         |lg AS (SELECT doc_id, n_bytes FROM flags WHERE ok_lang),
+         |lq AS (SELECT doc_id, n_bytes, fp FROM flags
+         |       WHERE ok_lang AND ok_quality),
+         |ex AS (SELECT doc_id, n_bytes FROM lq
+         |       QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+         |b AS (SELECT id, band, band_hash
+         |      FROM read_parquet('${sigGlob("mh_bands")}')
+         |      WHERE corpus_fp = $docsFpSql
+         |      QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash)
+         |              <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |         FROM b x JOIN b y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash
+         |         WHERE x.id < y.id),
+         |sh AS (SELECT id, sh FROM read_parquet('${sigGlob("mh_sh")}')
+         |       WHERE corpus_fp = $docsFpSql),
+         |p AS (SELECT id_a, id_b FROM (
+         |        SELECT id_a, id_b,
+         |          CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+         |          (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh)))
+         |            AS jaccard
+         |        FROM cand JOIN sh a ON a.id = id_a JOIN sh c ON c.id = id_b)
+         |      WHERE jaccard >= 0.5),
+         |pr AS (SELECT id_a, id_b FROM p
+         |       WHERE id_a IN (SELECT doc_id FROM ex)
+         |         AND id_b IN (SELECT doc_id FROM ex)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |      UNION SELECT id_b AS src, id_a AS dst FROM pr),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM e
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+         |),
+         |lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |mem AS (SELECT lab.doc_id, cluster_id, flags.n_bytes
+         |        FROM lab JOIN flags USING (doc_id)),
+         |drops AS (SELECT doc_id FROM (
+         |            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY
+         |              cluster_id ORDER BY n_bytes DESC, doc_id ASC) AS rn
+         |            FROM mem)
+         |          WHERE rn > 1),
+         |nd AS (SELECT doc_id, n_bytes FROM ex
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_idx, 'total' AS stage, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_bytes) AS BIGINT) AS n_bytes FROM base
+         |  UNION ALL SELECT 1, 'lang', COUNT(*),
+         |         CAST(SUM(n_bytes) AS BIGINT) FROM lg
+         |  UNION ALL SELECT 2, 'quality', COUNT(*),
+         |         CAST(SUM(n_bytes) AS BIGINT) FROM lq
+         |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+         |         CAST(SUM(n_bytes) AS BIGINT) FROM ex
+         |  UNION ALL SELECT 4, 'near_dedup', COUNT(*),
+         |         CAST(SUM(n_bytes) AS BIGINT) FROM nd)""".stripMargin,
     "q_simhash_neardups" ->
       s"""WITH s AS (SELECT id, simhash
          |           FROM read_parquet('${sigGlob("sim_sigs")}')

@@ -283,23 +283,36 @@ object Dedup {
     */
   def clustersFromPairs(pairs: DataFrame, docs: DataFrame,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    clusterMembers(pairs, docs, idCol, textCol)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+           max(when(col("is_keeper"), col(idCol))).as("keep_id"),
+           (sum("n_bytes") - max("n_bytes")).as("dup_bytes"))
+      .select(col("cluster_id"), col("n_docs"), col("keep_id"),
+              col("dup_bytes"))
+
+  /** The per-member view [[clustersFromPairs]] rolls up: (cluster_id,
+    * idCol, n_bytes, is_keeper) — one row per clustered doc, exactly one
+    * keeper per cluster (longest text, ties → lowest id). The filter
+    * shape a pipeline deletes with: `where(!is_keeper)` is the drop list.
+    */
+  def clusterMembers(pairs: DataFrame, docs: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
     def pad(c: Column) = format_string("%012d", c)
     val edges = pairs.select(pad(col("id_a")).as("src"),
                              pad(col("id_b")).as("dst"))
     val members = graft.graph.Graph.connectedComponents(edges)
       .select(col("label").cast("long").as("cluster_id"),
               col("node").cast("long").as(idCol))
-    val sized = members.join(
-      docs.select(col(idCol), octet_length(col(textCol)).as("n_bytes")),
-      idCol)
-    sized.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_docs"),
-           max_by(col(idCol), struct(col("n_bytes"), -col(idCol)))
-             .as("keep_id"),
-           (sum("n_bytes") - max("n_bytes")).as("dup_bytes"))
-      .select(col("cluster_id"), col("n_docs"), col("keep_id"),
-              col("dup_bytes"))
+    val keeperOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("n_bytes").desc, col(idCol).asc)
+    members.join(
+        docs.select(col(idCol), octet_length(col(textCol)).as("n_bytes")),
+        idCol)
+      .withColumn("is_keeper", row_number().over(keeperOrder) === 1)
   }
 
   /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets the
