@@ -184,6 +184,25 @@ object SparkEntry {
           .select(col("conv_id"), col("n_turns"), col("n_edges"),
                   col("min_idx"), col("max_idx"), col("contiguous"))
     }),
+    // T7 as a PLAN operator (round-5): streaming exact dedup — distinct
+    // text fingerprints emitted on first sight via the stateful
+    // streaming dropDuplicates ([[graft.stream.CepQueries
+    // .distinctFingerprints]]; global-state form — the offline-corpus
+    // shape; the watermark-bounded form's re-emit semantics are pinned
+    // in StreamingSpec). Rows emit in their arrival batch, so no
+    // sentinel flush is needed — and none is fed, so there is nothing to
+    // strip from the sink.
+    "q_stream_dedup" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        T(s, dir).select(graft.text.TextAnalysis.fingerprint(col("text"))
+          .as("fp")).limit(0)
+      else
+        runStream(s, rows, "q_stream_dedup", nSentinels = 0,
+                  dropSentinelRows = identity) { src =>
+          graft.stream.CepQueries.distinctFingerprints(src)
+        }
+    }),
     // T6 × T8/T9 (round-5): the flatMapGroupsWithState CSR path KILLED
     // mid-feed and restarted from its checkpoint — conversations straddle
     // the restart, so the finals are correct only if the per-key binary
@@ -1134,6 +1153,12 @@ object SparkEntry {
          |       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
          |       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS contiguous
          |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),
+    // the insert-once contract in SQL: one row per distinct normalized
+    // fingerprint over the fed subset
+    "q_stream_dedup" -> tsql(
+      s"""SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+         |  'g'))) AS fp
+         |FROM turns $streamFeedWhere""".stripMargin),
     // identical oracle to q_stream_csr — the mid-feed kill/restart of the
     // custom-state path must be invisible in the result
     "q_stream_csr_resume" -> tsql(

@@ -76,6 +76,30 @@ object CepQueries {
       .select(col("w2.start").as("window_start"), col("tool"),
               col("n_turns"), col("n_convs"))
 
+  /** Streaming exact dedup — the insert-once operator as a first-class
+    * stream transform (T7's sink-side semantics lifted into the plan;
+    * reference analog: node2idx insert-once, builders.py:190-198):
+    * emits each distinct text fingerprint the first time it is seen.
+    * `boundedState = false` → global exact dedup (state = one entry per
+    * DISTINCT key — the offline-corpus shape, state bounded by corpus
+    * distinctness, never by turn volume); `true` →
+    * `dropDuplicatesWithinWatermark` (state evicted once the watermark
+    * passes a key's horizon — the unbounded-input shape, with the
+    * documented trade that a duplicate arriving after its twin's horizon
+    * re-emits).
+    */
+  def distinctFingerprints(turns: DataFrame,
+                           watermark: String = "10 minutes",
+                           boundedState: Boolean = false): DataFrame = {
+    val fp = turns
+      .withWatermark("ts", watermark)
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+              col("ts"))
+    (if (boundedState) fp.dropDuplicatesWithinWatermark("fp")
+     else fp.dropDuplicates("fp"))
+      .select("fp")
+  }
+
   /** T5/J6 — stateful stream-stream join pairing each user turn with the
     * following assistant turn (CEP query #3; Link-building analog,
     * builders.py:199-256). Both sides watermarked; the time-range

@@ -98,6 +98,34 @@ class StreamingSpec extends SparkSuite {
     query.stop()
   }
 
+  test("T7 streaming dedup: global form emits once; bounded form re-emits past the horizon") {
+    def run(boundedState: Boolean): Long = {
+      val ms = MemoryStream[Turn](
+        implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+      val out = CepQueries.distinctFingerprints(
+        ms.toDF(), watermark = "1 minute", boundedState = boundedState)
+      val query = out.writeStream.format("memory")
+        .queryName(s"dedup_${boundedState}_${System.nanoTime()}")
+        .outputMode("append").start()
+      def at(min: Long) = Turn("D", 0, "user", "same text", None,
+        new Timestamp(1700000000000L + min * 60000))
+      ms.addData(Seq(at(0), at(1)))   // dup within the horizon
+      query.processAllAvailable()
+      ms.addData(Seq(at(600)))        // advances watermark ~10 h
+      query.processAllAvailable()
+      ms.addData(Seq(at(601)))        // same text, far past the horizon
+      query.processAllAvailable()
+      val n = spark.table(query.name).count()
+      query.stop()
+      n
+    }
+    // global state: one fingerprint forever
+    assert(run(boundedState = false) == 1L)
+    // watermark-bounded state: the evicted fingerprint re-emits once its
+    // twin's horizon has passed — the documented unbounded-input trade
+    assert(run(boundedState = true) == 2L)
+  }
+
   test("T3 session windows: streaming append == batch sessions") {
     val (streamed, batch) = runToCompletion(df =>
       CepQueries.sessionStats(df, watermark = "1 minute", gap = "30 minutes"))
