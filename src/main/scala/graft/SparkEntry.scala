@@ -203,6 +203,30 @@ object SparkEntry {
           graft.stream.CepQueries.distinctFingerprints(src)
         }
     }),
+    // CEP sequence pattern on its ACTUAL streaming path (round-5
+    // continuation): TOOL{2,} runs detected by [[graft.stream.Patterns
+    // .attach]] — flagged turns buffered as keyed state, runs emitted
+    // ONCE per conversation at event-time-timeout finalization (an early
+    // emit would double-report a run still growing at a batch boundary).
+    // Watermark declared UPSTREAM of the tool filter so unflagged turns
+    // and the sentinels still advance event time; same 2-sentinel /
+    // 48 h-idle timeout contract as q_stream_csr. Oracle = the identical
+    // gaps-and-islands SQL as q_tool_runs restricted to the fed subset.
+    "q_stream_runs" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        graft.stream.Patterns.toolRuns(T(s, dir), minLen = 2).limit(0)
+      else
+        runStream(s, rows, "q_stream_runs", nSentinels = 2,
+                  sentinelGapMs = 14L * 24 * 3600 * 1000) { src =>
+          import s.implicits._
+          graft.stream.Patterns.attach(
+              src.withWatermark("ts", "10 minutes")
+                .as[graft.schema.Turn].filter(_.tool.isDefined),
+              minLen = 2, idleTimeout = "48 hours")
+            .toDF()
+        }
+    }),
     // T6 × T8/T9 (round-5): the flatMapGroupsWithState CSR path KILLED
     // mid-feed and restarted from its checkpoint — conversations straddle
     // the restart, so the finals are correct only if the per-key binary
@@ -326,6 +350,40 @@ object SparkEntry {
 
     "q_sliding_rate" -> ((s, dir) =>
       Rates.slidingPerRole(T(s, dir), "2 hours", "1 hour")),
+    // As-of join (round-5 continuation): attribute every tool turn to the
+    // latest user turn at-or-before it — the union-tag + running-last
+    // single-shuffle plan ([[graft.ops.AsOfJoin]]); the oracle is DuckDB's
+    // native ASOF LEFT JOIN, a genuinely independent formulation of the
+    // same semantics. Right side pre-reduced to one row per (conv, ts)
+    // (max turn_idx) so the matched row is deterministic in both engines.
+    "q_asof_attrib" -> ((s, dir) => {
+      val t = T(s, dir)
+      val userPts = t.where(col("role") === "user")
+        .groupBy(col("conv_id"), col("ts").as("u_ts"))
+        .agg(max("turn_idx").cast("int").as("user_idx"))
+      val toolTurns = t.where(col("tool").isNotNull)
+        .select("conv_id", "turn_idx", "tool", "ts")
+      graft.ops.AsOfJoin.asOf(toolTurns, userPts, Seq("conv_id"),
+          leftTime = "ts", rightTime = "u_ts",
+          payload = Seq("user_idx", "u_ts"))
+        .select(col("conv_id"), col("turn_idx"), col("tool"),
+                col("user_idx"),
+                expr("timestampdiff(MICROSECOND, u_ts, ts)").as("gap_us"))
+    }),
+    // Reply-latency order statistics (round-5 continuation): the north
+    // rule's latency p95 as a first-class exact query — integer-µs gaps,
+    // interpolated percentiles bit-identical across engines (both compute
+    // lo + (hi−lo)·frac at p·(n−1)). [[graft.ops.Quantiles]]; the
+    // bounded-memory approx_percentile scale path is pinned against this
+    // exact operator in QuantilesSpec.
+    "q_latency_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.replyLatency(T(s, dir))),
+    // CEP pattern, batch twin: maximal runs of ≥2 consecutive tool turns
+    // per conversation — gaps-and-islands in one turn-order sort
+    // ([[graft.stream.Patterns.toolRuns]]). The streaming path over the
+    // same pattern is q_stream_runs.
+    "q_tool_runs" -> ((s, dir) =>
+      graft.stream.Patterns.toolRuns(T(s, dir), minLen = 2)),
     // Q2 analog: min hop distance between two text classes over the
     // conversation chain graph — closed form (|iₐ−i_b| within a conv); the
     // generic BFS kernel is validated against this class of answers in
@@ -1159,6 +1217,18 @@ object SparkEntry {
       s"""SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
          |  'g'))) AS fp
          |FROM turns $streamFeedWhere""".stripMargin),
+    // q_tool_runs' gaps-and-islands SQL over the fed subset — the Spark
+    // side detects the runs on the stateful streaming path
+    "q_stream_runs" -> tsql(
+      s""", isl AS (
+         |  SELECT conv_id, turn_idx, tool,
+         |         turn_idx - ROW_NUMBER() OVER (PARTITION BY conv_id
+         |                                       ORDER BY turn_idx) AS grp
+         |  FROM turns $streamFeedWhere AND tool IS NOT NULL)
+         |SELECT conv_id, MIN(turn_idx) AS start_idx, MAX(turn_idx) AS end_idx,
+         |       CAST(COUNT(*) AS INT) AS run_len,
+         |       CAST(COUNT(DISTINCT tool) AS INT) AS n_tools
+         |FROM isl GROUP BY conv_id, grp HAVING COUNT(*) >= 2""".stripMargin),
     // identical oracle to q_stream_csr — the mid-feed kill/restart of the
     // custom-state path must be invisible in the result
     "q_stream_csr_resume" -> tsql(
@@ -1206,6 +1276,41 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, role FROM turns
         |) GROUP BY 1, 2""".stripMargin),
+    // the as-of semantics recomputed by DuckDB's NATIVE ASOF LEFT JOIN —
+    // an independent engine feature, not a mirror of the union-tag plan
+    "q_asof_attrib" -> tsql(
+      """, user_pts AS (
+        |  SELECT conv_id, ts AS u_ts, CAST(MAX(turn_idx) AS INT) AS user_idx
+        |  FROM turns WHERE role = 'user' GROUP BY 1, 2),
+        |tool_t AS (
+        |  SELECT conv_id, turn_idx, tool, ts FROM turns WHERE tool IS NOT NULL)
+        |SELECT t.conv_id, t.turn_idx, t.tool, u.user_idx,
+        |       date_diff('microsecond', u.u_ts, t.ts) AS gap_us
+        |FROM tool_t t ASOF LEFT JOIN user_pts u
+        |  ON t.conv_id = u.conv_id AND t.ts >= u.u_ts""".stripMargin),
+    "q_latency_quantiles" -> tsql(
+      """, gaps AS (
+        |  SELECT tool, role, date_diff('microsecond',
+        |           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+        |           ts) AS gap_us
+        |  FROM turns
+        |  QUALIFY role = 'assistant' AND gap_us IS NOT NULL)
+        |SELECT tool, COUNT(*) AS n,
+        |       quantile_cont(gap_us, 0.5) AS p50_us,
+        |       quantile_cont(gap_us, 0.95) AS p95_us,
+        |       quantile_cont(gap_us, 0.99) AS p99_us,
+        |       MAX(gap_us) AS max_us
+        |FROM gaps GROUP BY tool""".stripMargin),
+    "q_tool_runs" -> tsql(
+      """, isl AS (
+        |  SELECT conv_id, turn_idx, tool,
+        |         turn_idx - ROW_NUMBER() OVER (PARTITION BY conv_id
+        |                                       ORDER BY turn_idx) AS grp
+        |  FROM turns WHERE tool IS NOT NULL)
+        |SELECT conv_id, MIN(turn_idx) AS start_idx, MAX(turn_idx) AS end_idx,
+        |       CAST(COUNT(*) AS INT) AS run_len,
+        |       CAST(COUNT(DISTINCT tool) AS INT) AS n_tools
+        |FROM isl GROUP BY conv_id, grp HAVING COUNT(*) >= 2""".stripMargin),
     "q_text_distance" -> tsql(
       """SELECT MIN(ABS(a.turn_idx - b.turn_idx)) AS dist
         |FROM turns a JOIN turns b ON a.conv_id = b.conv_id
