@@ -227,6 +227,29 @@ object SparkEntry {
             .toDF()
         }
     }),
+    // The SAME pattern on Spark 4's transformWithState API (round-5
+    // continuation): typed ValueState + explicit event-time timers on the
+    // RocksDB state-store provider — the arbitrary-stateful successor API,
+    // hash-checked against the identical islands oracle so the two state
+    // backends/APIs must agree row-for-row ([[graft.stream.Patterns
+    // .attachTws]], [[graft.stream.StateStores.withRocksDb]]).
+    "q_stream_runs_tws" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        graft.stream.Patterns.toolRuns(T(s, dir), minLen = 2).limit(0)
+      else
+        graft.stream.StateStores.withRocksDb(s) {
+          runStream(s, rows, "q_stream_runs_tws", nSentinels = 2,
+                    sentinelGapMs = 14L * 24 * 3600 * 1000) { src =>
+            import s.implicits._
+            graft.stream.Patterns.attachTws(
+                src.withWatermark("ts", "10 minutes")
+                  .as[graft.schema.Turn].filter(_.tool.isDefined),
+                minLen = 2, idleTimeout = "48 hours")
+              .toDF()
+          }
+        }
+    }),
     // T6 × T8/T9 (round-5): the flatMapGroupsWithState CSR path KILLED
     // mid-feed and restarted from its checkpoint — conversations straddle
     // the restart, so the finals are correct only if the per-key binary
@@ -1220,6 +1243,18 @@ object SparkEntry {
     // q_tool_runs' gaps-and-islands SQL over the fed subset — the Spark
     // side detects the runs on the stateful streaming path
     "q_stream_runs" -> tsql(
+      s""", isl AS (
+         |  SELECT conv_id, turn_idx, tool,
+         |         turn_idx - ROW_NUMBER() OVER (PARTITION BY conv_id
+         |                                       ORDER BY turn_idx) AS grp
+         |  FROM turns $streamFeedWhere AND tool IS NOT NULL)
+         |SELECT conv_id, MIN(turn_idx) AS start_idx, MAX(turn_idx) AS end_idx,
+         |       CAST(COUNT(*) AS INT) AS run_len,
+         |       CAST(COUNT(DISTINCT tool) AS INT) AS n_tools
+         |FROM isl GROUP BY conv_id, grp HAVING COUNT(*) >= 2""".stripMargin),
+    // identical oracle to q_stream_runs — the transformWithState/RocksDB
+    // path must agree with the flatMapGroupsWithState/heap path exactly
+    "q_stream_runs_tws" -> tsql(
       s""", isl AS (
          |  SELECT conv_id, turn_idx, tool,
          |         turn_idx - ROW_NUMBER() OVER (PARTITION BY conv_id

@@ -79,6 +79,36 @@ object Patterns {
     out.result().iterator
   }
 
+  /** Merge one micro-batch's flagged turns into the sorted state — the
+    * same O(n + d log d) kernel shape as CsrState's merge; duplicate idx
+    * keeps the first-seen tool, so the update is idempotent under
+    * replayed input. Shared by the flatMapGroupsWithState and
+    * transformWithState paths.
+    */
+  private[stream] def mergeFlagged(prev: RunState,
+                                   turns: Iterator[Turn]): RunState = {
+    val delta = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var maxTs = prev.lastTsMs
+    turns.foreach { t =>
+      delta += ((t.turn_idx, t.tool.orNull))
+      val ts = t.ts.getTime
+      if (ts > maxTs) maxTs = ts
+    }
+    val d = delta.sortBy(_._1)
+    val idxs = new scala.collection.mutable.ArrayBuilder.ofInt
+    val tools = Seq.newBuilder[String]
+    var i = 0; var j = 0; var last = Int.MinValue
+    def emit(idx: Int, tool: String): Unit =
+      if (idx != last) { idxs += idx; tools += tool; last = idx }
+    while (i < prev.idxs.length && j < d.length) {
+      if (prev.idxs(i) <= d(j)._1) { emit(prev.idxs(i), prev.tools(i)); i += 1 }
+      else { emit(d(j)._1, d(j)._2); j += 1 }
+    }
+    while (i < prev.idxs.length) { emit(prev.idxs(i), prev.tools(i)); i += 1 }
+    while (j < d.length) { emit(d(j)._1, d(j)._2); j += 1 }
+    RunState(idxs.result(), tools.result().toArray, maxTs)
+  }
+
   private def update(minLen: Int, idleTimeoutMs: Long)(
       convId: String, turns: Iterator[Turn], state: GroupState[RunState])
       : Iterator[RunMatch] = {
@@ -88,31 +118,9 @@ object Patterns {
       runsOf(convId, s.idxs, s.tools, minLen)
     } else {
       val prev = state.getOption.getOrElse(RunState(Array.empty, Array.empty, 0L))
-      val delta = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-      var maxTs = prev.lastTsMs
-      turns.foreach { t =>
-        delta += ((t.turn_idx, t.tool.orNull))
-        val ts = t.ts.getTime
-        if (ts > maxTs) maxTs = ts
-      }
-      // merge the sorted per-batch delta into the sorted previous state
-      // (same O(n + d log d) shape as CsrState's kernel); duplicate idx
-      // keeps the first-seen tool — idempotent under replayed input
-      val d = delta.sortBy(_._1)
-      val idxs = new scala.collection.mutable.ArrayBuilder.ofInt
-      val tools = Seq.newBuilder[String]
-      var i = 0; var j = 0; var last = Int.MinValue
-      def emit(idx: Int, tool: String): Unit =
-        if (idx != last) { idxs += idx; tools += tool; last = idx }
-      while (i < prev.idxs.length && j < d.length) {
-        if (prev.idxs(i) <= d(j)._1) { emit(prev.idxs(i), prev.tools(i)); i += 1 }
-        else { emit(d(j)._1, d(j)._2); j += 1 }
-      }
-      while (i < prev.idxs.length) { emit(prev.idxs(i), prev.tools(i)); i += 1 }
-      while (j < d.length) { emit(d(j)._1, d(j)._2); j += 1 }
-      val next = RunState(idxs.result(), tools.result().toArray, maxTs)
+      val next = mergeFlagged(prev, turns)
       state.update(next)
-      state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
+      state.setTimeoutTimestamp(next.lastTsMs + idleTimeoutMs)
       Iterator.empty
     }
   }
@@ -139,5 +147,59 @@ object Patterns {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         update(minLen, timeoutMs))
+  }
+
+  /** The same pattern matcher on Spark 4's `transformWithState` API — the
+    * arbitrary-stateful-processing successor to flatMapGroupsWithState
+    * (typed state variables, EXPLICIT event-time timers instead of the
+    * one-per-key timeout). Requires the RocksDB state-store provider
+    * ([[StateStores.withRocksDb]]); output is row-identical to [[attach]]
+    * over the same input — q_stream_runs_tws hash-checks that under the
+    * same oracle. Exactly one live timer per conversation: each batch
+    * deletes the previous expiry before registering the advanced one, and
+    * a stale expiry (state extended after a crash-replayed register) is
+    * ignored by the lastTsMs guard.
+    */
+  def attachTws(flagged: Dataset[Turn], minLen: Int = 2,
+                idleTimeout: String = "48 hours"): Dataset[RunMatch] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val timeoutMs = iv.months * 2592000000L + iv.days * 86400000L +
+      iv.microseconds / 1000L
+    val processor =
+      new org.apache.spark.sql.streaming.StatefulProcessor[String, Turn, RunMatch] {
+        @transient private var runs: ValueState[RunState] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          runs = getHandle.getValueState[RunState](
+            "runs", Encoders.product[RunState], TTLConfig.NONE)
+        override def handleInputRows(convId: String, rows: Iterator[Turn],
+                                     timers: TimerValues): Iterator[RunMatch] = {
+          val prev = if (runs.exists()) runs.get()
+                     else RunState(Array.empty, Array.empty, 0L)
+          val next = mergeFlagged(prev, rows)
+          runs.update(next)
+          if (prev.lastTsMs > 0L)
+            getHandle.deleteTimer(prev.lastTsMs + timeoutMs)
+          getHandle.registerTimer(next.lastTsMs + timeoutMs)
+          Iterator.empty
+        }
+        override def handleExpiredTimer(convId: String, timers: TimerValues,
+                                        expired: ExpiredTimerInfo)
+            : Iterator[RunMatch] = {
+          if (!runs.exists()) return Iterator.empty
+          val s = runs.get()
+          if (expired.getExpiryTimeInMs < s.lastTsMs + timeoutMs)
+            return Iterator.empty // stale timer; a fresher one is armed
+          runs.clear()
+          runsOf(convId, s.idxs, s.tools, minLen)
+        }
+      }
+    implicit val outEnc = Encoders.product[RunMatch]
+    flagged
+      .groupByKey(_.conv_id)(Encoders.STRING)
+      .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append)
   }
 }

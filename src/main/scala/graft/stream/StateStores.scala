@@ -33,4 +33,31 @@ object StateStores {
     spark.conf.unset(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
   }
+
+  /** Run `body` (which must START its streaming queries inside — the
+    * provider is frozen into a query at start) with RocksDB state stores,
+    * restoring the previous provider conf afterwards. `transformWithState`
+    * requires this provider.
+    */
+  def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevCl = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    useRocksDb(spark)
+    try body
+    finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    }
+  }
 }
