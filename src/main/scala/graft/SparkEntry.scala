@@ -250,6 +250,31 @@ object SparkEntry {
           }
         }
     }),
+    // Stream-STATIC enrichment join (round-5 continuation): every
+    // incoming turn joined against a batch dimension (per-conversation
+    // first-seen ts) on the actual micro-batch path — the standard
+    // dim-lookup shape. The static side carries an explicit broadcast
+    // hint: AQE is disabled inside micro-batch plans, so the join
+    // strategy must be declared (at 100 TB the dim is the small side by
+    // construction — per-tool/per-tenant attributes; a conversation-sized
+    // dim would instead be pre-bucketed and the hint dropped). Stateless
+    // → rows emit in their arrival batch; no watermark, no sentinels.
+    "q_stream_enrich" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      val dim = T(s, dir).groupBy("conv_id")
+        .agg(min(col("ts").cast("timestamp")).as("first_ts"))
+      if (rows.isEmpty)
+        T(s, dir).select(col("conv_id"), col("turn_idx"),
+          lit(0L).as("offset_us")).limit(0)
+      else
+        runStream(s, rows, "q_stream_enrich", nSentinels = 0,
+                  dropSentinelRows = identity) { src =>
+          src.join(broadcast(dim), "conv_id")
+            .select(col("conv_id"), col("turn_idx"),
+                    expr("timestampdiff(MICROSECOND, first_ts, ts)")
+                      .as("offset_us"))
+        }
+    }),
     // T6 × T8/T9 (round-5): the flatMapGroupsWithState CSR path KILLED
     // mid-feed and restarted from its checkpoint — conversations straddle
     // the restart, so the finals are correct only if the per-key binary
@@ -1252,6 +1277,15 @@ object SparkEntry {
          |       CAST(COUNT(*) AS INT) AS run_len,
          |       CAST(COUNT(DISTINCT tool) AS INT) AS n_tools
          |FROM isl GROUP BY conv_id, grp HAVING COUNT(*) >= 2""".stripMargin),
+    // the dim join recomputed relationally: per-conv min ts over the FULL
+    // table (identical to the subset's per-conv min — min is per-conv),
+    // offset per fed turn
+    "q_stream_enrich" -> tsql(
+      s""", dim AS (SELECT conv_id, MIN(ts) AS first_ts FROM turns GROUP BY 1)
+         |SELECT t.conv_id, t.turn_idx,
+         |       date_diff('microsecond', d.first_ts, t.ts) AS offset_us
+         |FROM turns t JOIN dim d USING (conv_id)
+         |$streamFeedWhere""".stripMargin),
     // identical oracle to q_stream_runs — the transformWithState/RocksDB
     // path must agree with the flatMapGroupsWithState/heap path exactly
     "q_stream_runs_tws" -> tsql(
