@@ -426,6 +426,11 @@ object SparkEntry {
     // exact operator in QuantilesSpec.
     "q_latency_quantiles" -> ((s, dir) =>
       graft.ops.Quantiles.replyLatency(T(s, dir))),
+    // the same order statistics restricted to INTRA-session gaps (a gap
+    // over the 30 min threshold starts a new session, q_sessions'
+    // definition — it is absence, not latency)
+    "q_session_latency" -> ((s, dir) =>
+      graft.ops.Quantiles.sessionReplyLatency(T(s, dir), gapSec = 1800)),
     // CEP pattern, batch twin: maximal runs of ≥2 consecutive tool turns
     // per conversation — gaps-and-islands in one turn-order sort
     // ([[graft.stream.Patterns.toolRuns]]). The streaming path over the
@@ -1364,6 +1369,20 @@ object SparkEntry {
         |           ts) AS gap_us
         |  FROM turns
         |  QUALIFY role = 'assistant' AND gap_us IS NOT NULL)
+        |SELECT tool, COUNT(*) AS n,
+        |       quantile_cont(gap_us, 0.5) AS p50_us,
+        |       quantile_cont(gap_us, 0.95) AS p95_us,
+        |       quantile_cont(gap_us, 0.99) AS p99_us,
+        |       MAX(gap_us) AS max_us
+        |FROM gaps GROUP BY tool""".stripMargin),
+    "q_session_latency" -> tsql(
+      """, gaps AS (
+        |  SELECT tool, role, date_diff('microsecond',
+        |           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+        |           ts) AS gap_us
+        |  FROM turns
+        |  QUALIFY role = 'assistant' AND gap_us IS NOT NULL
+        |          AND gap_us <= 1800 * 1000000)
         |SELECT tool, COUNT(*) AS n,
         |       quantile_cont(gap_us, 0.5) AS p50_us,
         |       quantile_cont(gap_us, 0.95) AS p95_us,

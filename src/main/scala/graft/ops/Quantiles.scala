@@ -41,6 +41,22 @@ object Quantiles {
       percentile(col("gap_us"), lit(0.99)).as("p99_us"),
       max(col("gap_us")).as("max_us"))
 
+  /** Session-scoped variant — the north rule's "session-window query
+    * latency p95" verbatim: a gap larger than the session-inactivity
+    * threshold is by definition a NEW session (Sessions.byGap), not a
+    * reply latency, so only intra-session gaps enter the order
+    * statistics. Same plan shape as [[replyLatency]] plus one pushed
+    * filter.
+    */
+  def sessionReplyLatency(turns: DataFrame, gapSec: Long = 1800): DataFrame =
+    gaps(turns).where(col("gap_us") <= gapSec * 1000000L)
+      .groupBy("tool").agg(
+        count(lit(1)).as("n"),
+        percentile(col("gap_us"), lit(0.5)).as("p50_us"),
+        percentile(col("gap_us"), lit(0.95)).as("p95_us"),
+        percentile(col("gap_us"), lit(0.99)).as("p99_us"),
+        max(col("gap_us")).as("max_us"))
+
   /** Sketch-based variant: `approx_percentile` (KLL-style, bounded
     * memory, map-side combinable) — the 100-TB shape when group
     * cardinality or per-group volume makes exact order statistics
