@@ -156,6 +156,27 @@ object Scaling {
       (System.nanoTime() - t3) / 1e9
     }.min
 
+    // --- job 5 (round-5): the operator-widening batch families over the
+    // same input — as-of attribution (one union-sort shuffle), latency
+    // order statistics, CEP islands; CPU/shuffle bound like job 3 (not
+    // in the default set, to keep job-3 numbers comparable across
+    // rounds: SPARK_GRAFT_JOBS=ops); best of 3 ---
+    var (nAttrib, nRuns) = (0L, 0L)
+    val opsSec = if (!jobs("ops")) -1.0 else (1 to 3).map { _ =>
+      val t4 = System.nanoTime()
+      val userPts = turns.where(col("role") === "user")
+        .groupBy(col("conv_id"), col("ts").as("u_ts"))
+        .agg(max("turn_idx").cast("int").as("user_idx"))
+      val toolTurns = turns.where(col("tool").isNotNull)
+        .select("conv_id", "turn_idx", "tool", "ts")
+      nAttrib = graft.ops.AsOfJoin.asOf(toolTurns, userPts, Seq("conv_id"),
+          "ts", "u_ts", Seq("user_idx"))
+        .where(col("user_idx").isNotNull).count()
+      graft.ops.Quantiles.replyLatency(turns).count()
+      nRuns = graft.stream.Patterns.toolRuns(turns, minLen = 2).count()
+      (System.nanoTime() - t4) / 1e9
+    }.min
+
     def tps(sec: Double): Long = if (sec > 0) (totalRows / sec).toLong else -1L
     println(
       s"""{"cpus":$cpus,"rows":$totalRows,"fpt":$fpt,"rocksdb":$rocks,"ingest_sec":$ingestSec,""" +
@@ -166,7 +187,10 @@ object Scaling {
       s""""analytics_turns_per_sec":${tps(analyticsSec)},""" +
       s""""csr_sec":$csrSec,""" +
       s""""csr_turns_per_sec":${tps(csrSec)},""" +
+      s""""ops_sec":$opsSec,""" +
+      s""""ops_turns_per_sec":${tps(opsSec)},""" +
       s""""edges":$nEdges,"sessions":$nSessions,"pairs":$nPairs,""" +
+      s""""attrib":$nAttrib,"runs":$nRuns,""" +
       s""""batch_p95_ms":${metrics.p95DurationMs},""" +
       s""""late_dropped":${metrics.totalLateDropped}}""")
     spark.stop()
