@@ -437,6 +437,50 @@ object SparkEntry {
     // same pattern is q_stream_runs.
     "q_tool_runs" -> ((s, dir) =>
       graft.stream.Patterns.toolRuns(T(s, dir), minLen = 2)),
+    // Interval-containment join (round-5 continuation): every turn
+    // located inside its session's [start_ts, end_ts] interval via the
+    // BUCKETIZED equi-join ([[graft.ops.IntervalJoin]] — interval × hour
+    // buckets + residual BETWEEN, no per-key cartesian). Oracle = the
+    // NAIVE range join over independently recomputed islands intervals,
+    // so a bucketization bug that drops/duplicates boundary rows breaks
+    // the hash.
+    "q_turn_sessions" -> ((s, dir) => {
+      val t = T(s, dir)
+      val sess = Sessions.byGap(t, 1800)
+        .select("conv_id", "session_idx", "start_ts", "end_ts")
+      graft.ops.IntervalJoin.containment(
+          t.select("conv_id", "turn_idx", "ts"), sess,
+          keys = Seq("conv_id"), pointTime = "ts",
+          start = "start_ts", end = "end_ts",
+          payload = Seq("session_idx"), bucket = "hour")
+        .select("conv_id", "turn_idx", "session_idx")
+    }),
+    // Pivot (round-5 continuation): role × tool count matrix with an
+    // EXPLICIT pivot-value list (dynamic value discovery would be a
+    // separate pass + nondeterministic column order at scale); absent
+    // cells filled 0 to match the oracle's conditional aggregation.
+    "q_role_tool_pivot" -> ((s, dir) =>
+      T(s, dir)
+        .withColumn("tool_k", coalesce(col("tool"), lit("none")))
+        .groupBy("role")
+        .pivot("tool_k", Seq("error", "purchase", "none"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("error", "purchase", "none"))),
+    // Grouped top-k ranking (round-5 continuation): top-2 tools per day
+    // by turn count, deterministic tie-break on tool name — the ranked
+    // flavor of O7 (the map-side TopK aggregator covers the scored
+    // flavor in q_knn_*).
+    "q_top_tools_daily" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day").orderBy(col("n_turns").desc, col("tool").asc)
+      T(s, dir).where(col("tool").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("tool"))
+        .agg(count(lit(1)).as("n_turns"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select(col("day"), col("tool"), col("n_turns"),
+                col("rnk").cast("int").as("rnk"))
+    }),
     // Q2 analog: min hop distance between two text classes over the
     // conversation chain graph — closed form (|iₐ−i_b| within a conv); the
     // generic BFS kernel is validated against this class of answers in
@@ -1399,6 +1443,33 @@ object SparkEntry {
         |       CAST(COUNT(*) AS INT) AS run_len,
         |       CAST(COUNT(DISTINCT tool) AS INT) AS n_tools
         |FROM isl GROUP BY conv_id, grp HAVING COUNT(*) >= 2""".stripMargin),
+    // naive range join over independently recomputed islands intervals —
+    // the un-bucketized formulation of the containment semantics
+    "q_turn_sessions" -> tsql(
+      Sessions.islandsCte(1800) +
+      """, sess AS (
+        |  SELECT conv_id, session_idx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |  FROM numbered_sessions GROUP BY 1, 2)
+        |SELECT t.conv_id, t.turn_idx, s.session_idx
+        |FROM turns t JOIN sess s
+        |  ON t.conv_id = s.conv_id
+        | AND t.ts BETWEEN s.start_ts AND s.end_ts""".stripMargin),
+    "q_role_tool_pivot" -> tsql(
+      """SELECT role,
+        |       COUNT(*) FILTER (tool = 'error') AS error,
+        |       COUNT(*) FILTER (tool = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (tool IS NULL) AS none
+        |FROM turns GROUP BY role""".stripMargin),
+    "q_top_tools_daily" -> tsql(
+      """, counts AS (
+        |  SELECT date_trunc('day', ts) AS day, tool, COUNT(*) AS n_turns
+        |  FROM turns WHERE tool IS NOT NULL GROUP BY 1, 2)
+        |SELECT day, tool, n_turns, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT day, tool, n_turns,
+        |         ROW_NUMBER() OVER (PARTITION BY day
+        |                            ORDER BY n_turns DESC, tool ASC) AS rnk
+        |  FROM counts)
+        |WHERE rnk <= 2""".stripMargin),
     "q_text_distance" -> tsql(
       """SELECT MIN(ABS(a.turn_idx - b.turn_idx)) AS dist
         |FROM turns a JOIN turns b ON a.conv_id = b.conv_id
