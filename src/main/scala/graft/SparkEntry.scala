@@ -310,6 +310,39 @@ object SparkEntry {
                   col("last_ts").cast("timestamp_ntz").as("last_ts"))
       }
     }),
+    // ... and the same view KILLED between the two feed batches and
+    // restarted from its checkpoint (round-5 continuation): straddling
+    // conversations have their batch-1 aggregate in the table AND their
+    // state in the checkpoint; the restarted query must re-hydrate the
+    // agg state and the replayed/late upserts must replace, not
+    // duplicate — same full-table group-by oracle, restart invisible.
+    "q_stream_matview_resume" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        graft.stream.MaterializedView.viewDef(T(s, dir)).limit(0)
+      else {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ms = MemoryStream[graft.schema.Turn](
+          org.apache.spark.sql.Encoders.product[graft.schema.Turn],
+          s.sqlContext)
+        val root = deleteOnExit(
+          java.nio.file.Files.createTempDirectory("q_stream_matview_resume"))
+        val parts =
+          graft.stream.StatePartitions.forVolume(rows.length, minParts = 2)
+        def start() = graft.stream.StatePartitions.scoped(s, parts) {
+          graft.stream.MaterializedView.start(
+            ms.toDF(), s"$root/view", s"$root/ckpt")
+        }
+        val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+        val q1 = start()
+        try { ms.addData(b1); q1.processAllAvailable() } finally q1.stop()
+        val q2 = start()
+        try { ms.addData(b2); q2.processAllAvailable() } finally q2.stop()
+        s.read.parquet(s"$root/view")
+          .select(col("conv_id"), col("n_turns"), col("n_tool_turns"),
+                  col("last_ts").cast("timestamp_ntz").as("last_ts"))
+      }
+    }),
     // T6 × T8/T9 (round-5): the flatMapGroupsWithState CSR path KILLED
     // mid-feed and restarted from its checkpoint — conversations straddle
     // the restart, so the finals are correct only if the per-key binary
@@ -1365,6 +1398,11 @@ object SparkEntry {
     // fed subset: only true if update-mode deltas + replace-on-match
     // upserts compose correctly across batches
     "q_stream_matview" -> tsql(
+      s"""SELECT conv_id, COUNT(*) AS n_turns,
+         |       COUNT(tool) AS n_tool_turns, MAX(ts) AS last_ts
+         |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),
+    // identical oracle — the kill/restart must be invisible in the view
+    "q_stream_matview_resume" -> tsql(
       s"""SELECT conv_id, COUNT(*) AS n_turns,
          |       COUNT(tool) AS n_tool_turns, MAX(ts) AS last_ts
          |FROM turns $streamFeedWhere GROUP BY conv_id""".stripMargin),

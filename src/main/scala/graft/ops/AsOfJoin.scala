@@ -42,6 +42,11 @@ object AsOfJoin {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "payload must name at least one right column")
     val fields = (rightTime +: payload).distinct
+    // appended columns must not silently overwrite left columns
+    val clash = fields.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"right columns collide with left columns: ${clash.mkString(", ")} — " +
+        "rename the right side before joining")
     val rightTagged = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__asof_t"),

@@ -65,7 +65,9 @@ object Patterns {
       if (len >= minLen) {
         val distinct = new scala.collection.mutable.HashSet[String]
         var k = start
-        while (k < endExcl) { distinct += tools(k); k += 1 }
+        // skip nulls: countDistinct ignores NULL, and the batch twin /
+        // oracle must agree even if a caller forgets the tool pre-filter
+        while (k < endExcl) { if (tools(k) != null) distinct += tools(k); k += 1 }
         out += RunMatch(convId, idxs(start), idxs(endExcl - 1), len,
                         distinct.size)
       }
