@@ -89,6 +89,29 @@ object SparkEntry {
                   col("start_ts").cast("timestamp_ntz").as("start_ts"),
                   col("end_ts").cast("timestamp_ntz").as("end_ts"))
     }),
+    // The session-window aggregate's state on the ROCKSDB provider
+    // (round-5 continuation): completes state-backend parity across the
+    // three state types — q_stream_runs_tws covers custom
+    // transformWithState state, this covers BUILT-IN aggregation
+    // (session-window merge) state on RocksDB + changelog checkpointing,
+    // under the identical islands oracle.
+    "q_stream_sessions_rocksdb" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        Sessions.bySessionWindow(T(s, dir), "30 minutes")
+          .select("conv_id", "n_turns", "start_ts", "end_ts").limit(0)
+      else
+        graft.stream.StateStores.withRocksDb(s) {
+          runStream(s, rows, "q_stream_sessions_rocksdb", nSentinels = 1) {
+            src =>
+              graft.stream.CepQueries.sessionStats(
+                src, watermark = "10 minutes", gap = "30 minutes")
+          }
+        }
+          .select(col("conv_id"), col("n_turns"),
+                  col("start_ts").cast("timestamp_ntz").as("start_ts"),
+                  col("end_ts").cast("timestamp_ntz").as("end_ts"))
+    }),
     // T8/T9/S13 under the driver oracle (round-5): the SAME watermarked
     // session_window aggregate, but the query is KILLED after the first
     // half of the feed and RESTARTED from its checkpoint before the
@@ -1340,6 +1363,10 @@ object SparkEntry {
     // the Spark side executes the actual micro-batch streaming path, not
     // the batch plan
     "q_stream_sessions" ->
+      tsql(Sessions.sessionWindowOracle(1800, streamFeedWhere)),
+    // identical islands oracle — the RocksDB state backend must be
+    // invisible in the result
+    "q_stream_sessions_rocksdb" ->
       tsql(Sessions.sessionWindowOracle(1800, streamFeedWhere)),
     // IDENTICAL islands oracle — the mid-feed kill/restart on the Spark
     // side must be invisible in the result (checkpoint recovery + state
