@@ -8,7 +8,7 @@ import graft.gfa.{GfaParse, SplitAlignment}
 import graft.graph.Graph
 import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
 import graft.sim.{Ivf, Knn}
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Curation, Dedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -817,6 +817,23 @@ object SparkEntry {
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
       TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
+    // benchmark decontamination: the deterministic doc_id%10==7 slice
+    // plays the held-out eval set; every remaining (training) doc sharing
+    // a word 8-gram with it is flagged with its shared-gram / bench-doc
+    // counts (broadcast bench-gram join — see [[Curation.decontaminate]])
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.decontaminate(d.where(col("doc_id") % 10 =!= 7),
+                             d.where(col("doc_id") % 10 === 7), n = 8)
+    }),
+    // exactly-stratified deterministic train/val split (10% val per
+    // lang×source stratum, md5-ranked)
+    "q_train_split" -> ((s, dir) => Curation.stratifiedSplit(docs(s, dir))),
+    // Gopher-style repetition-quality features
+    "q_doc_repetition" -> ((s, dir) => Curation.repetition(docs(s, dir))),
+    // source-mixture epoch weighting (≤4 epochs levelling toward the
+    // largest source)
+    "q_mix_epochs" -> ((s, dir) => Curation.mixtureEpochs(docs(s, dir))),
     // --- post-hash pipelines under the driver oracle (round-5): the
     // xxhash64 signature stage of each query is materialized ONCE per
     // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
@@ -1851,6 +1868,77 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS ws_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER) AS bpe_tokens
         |FROM documents""".stripMargin,
+    // word-8-gram decontamination: tokens via indexed list access (DuckDB
+    // has no WITH ORDINALITY), grams via the same pos-ascending sliding
+    // frame the Spark window uses; benchmark slice = doc_id % 10 = 7
+    "q_decontam" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos,
+        |         toks[CAST(t.i AS INTEGER)] AS w
+        |  FROM d, UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS t(i)),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |         string_agg(w, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+        |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM tok),
+        |gr AS (SELECT DISTINCT doc_id, gram FROM g WHERE pos <= n - 8)
+        |SELECT t.doc_id,
+        |       CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hits,
+        |       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+        |FROM gr t JOIN gr b ON t.gram = b.gram
+        |WHERE t.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+        |GROUP BY 1""".stripMargin,
+    // exactly-stratified split: md5 over the decimal-rendered id is
+    // byte-identical in both engines, so the per-stratum rank agrees
+    "q_train_split" ->
+      """SELECT doc_id, lang, source, rn, n_stratum,
+        |       CASE WHEN rn * 10 <= n_stratum * 1 THEN 'val' ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id, lang, source,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum
+        |  FROM documents)""".stripMargin,
+    "q_doc_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos,
+        |         toks[CAST(t.i AS INTEGER)] AS w
+        |  FROM d, UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS t(i)),
+        |stats AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+        |         CAST(COUNT(DISTINCT w) AS INTEGER) AS n_distinct_tokens
+        |  FROM tok GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, w || ' ' ||
+        |         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM tok),
+        |bgc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg
+        |        WHERE bigram IS NOT NULL GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_bigrams,
+        |               CAST(MAX(n) AS INTEGER) AS top_bigram_n
+        |        FROM bgc GROUP BY 1)
+        |SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens,
+        |       COALESCE(t.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
+        |       COALESCE(t.top_bigram_n, 0) * 5 > COALESCE(t.n_bigrams, 0)
+        |         AS is_repetitive
+        |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin,
+    "q_mix_epochs" ->
+      """WITH perSrc AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT *, MAX(n_tokens) OVER () AS max_tokens FROM perSrc)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(LEAST((max_tokens + n_tokens - 1) // n_tokens, 4)
+        |            AS INTEGER) AS epochs,
+        |       CAST(LEAST((max_tokens + n_tokens - 1) // n_tokens, 4)
+        |            * n_tokens AS BIGINT) AS weighted_tokens
+        |FROM m""".stripMargin,
     "q_doc_lang" ->
       """SELECT doc_id, lang,
         |       CASE WHEN CAST(len(regexp_extract_all(lower(text),

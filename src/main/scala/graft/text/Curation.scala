@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenization: benchmark decontamination
+  * (word-n-gram overlap against a held-out eval set), exactly-stratified
+  * deterministic train/val splitting, Gopher-style repetition-quality
+  * features, and source-mixture epoch weighting.
+  *
+  * Design rules shared with [[TextAnalysis]]: integer counts and
+  * string/md5 expressions only (bit-exact in the DuckDB oracle — no
+  * cross-engine float drift), every kernel relational and codegen'd (no
+  * UDFs, no higher-order lambdas that recapture computed arrays — see the
+  * O(L²) note on [[TextAnalysis.winnowedFingerprints]]).
+  */
+object Curation {
+
+  /** (idCol, pos, w): one row per whitespace-delimited word token. The
+    * split is a literal single-space split (the corpus is single-space
+    * joined), so the oracle's string_split agrees byte-for-byte.
+    */
+  def tokens(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+
+  /** (idCol, pos, gram): every word n-gram, assembled RELATIONALLY — a
+    * sliding collect_list window over the exploded token table, not a
+    * lambda over a captured array (which re-evaluates the split per
+    * element). Frame order is pos-ascending, so the joined gram string is
+    * deterministic; trailing positions with fewer than n tokens are
+    * trimmed by the per-doc count.
+    */
+  def wordNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val byDoc = Window.partitionBy(idCol)
+    val sliding = byDoc.orderBy("pos").rowsBetween(0, n - 1)
+    tokens(docs, idCol, textCol)
+      .withColumn("gram", array_join(collect_list("w").over(sliding), " "))
+      .withColumn("cnt", count(lit(1)).over(byDoc))
+      .where(col("pos") <= col("cnt") - n)
+      .select(col(idCol), col("pos"), col("gram"))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word n-gram with any benchmark (eval-set) document — the
+    * standard n-gram-overlap decontamination pass (GPT-3 §C / PaLM-style)
+    * run before a training corpus is frozen. Output: one row per
+    * CONTAMINATED training doc — (idCol, n_hits = distinct shared grams,
+    * n_bench_docs = distinct benchmark docs sharing one).
+    *
+    * Scale shape: the benchmark set is orders of magnitude smaller than
+    * the corpus, so its distinct-gram relation is the BROADCAST side of
+    * the only join; the corpus side is one scan → explode → distinct
+    * (map-side-combinable on (doc, gram)). No corpus×corpus shuffle.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val trainGrams = wordNgrams(corpus, n, idCol, textCol)
+      .select(col(idCol), col("gram")).distinct()
+    val benchGrams = wordNgrams(bench, n, idCol, textCol)
+      .select(col(idCol).as("bench_id"), col("gram")).distinct()
+    trainGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(idCol)
+      .agg(countDistinct("gram").as("n_hits"),
+           countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /** Exactly-stratified deterministic train/val split: within every
+    * stratum (e.g. lang × source), rank docs by md5(id) — a stable
+    * pseudo-random order both engines compute identically — and assign
+    * the first ⌊n·valNum/valDen⌋ to `val`, the rest to `train`. Exact
+    * per-stratum proportions (a hash-mod split is only stratified in
+    * expectation) and reproducible across runs/engines/cluster sizes.
+    * Output: (idCol, strata..., rn, n_stratum, split).
+    *
+    * Scale shape: one shuffle on the stratum key; the rank window runs
+    * inside each stratum partition. Strata are the natural partition
+    * unit of a curated corpus (source shards), so the window never sees
+    * a global sort. A hot stratum is still one partition — for corpora
+    * whose largest stratum exceeds executor memory, pre-split the
+    * stratum key (the md5 rank is stable under any tie-free subdivision
+    * refinement, so a salted two-phase rank can be layered on).
+    */
+  def stratifiedSplit(docs: DataFrame, strata: Seq[String] = Seq("lang", "source"),
+                      valNum: Int = 1, valDen: Int = 10,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(valNum >= 0 && valDen > 0 && valNum <= valDen,
+      s"val fraction $valNum/$valDen out of [0,1]")
+    val byStratum = Window.partitionBy(strata.map(col): _*)
+    val ranked = byStratum.orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("rn", row_number().over(ranked))
+      .withColumn("n_stratum", count(lit(1)).over(byStratum))
+      .withColumn("split",
+        when(col("rn") * valDen <= col("n_stratum") * valNum, lit("val"))
+          .otherwise(lit("train")))
+      .select((col(idCol) +: strata.map(col)) ++
+              Seq(col("rn"), col("n_stratum"), col("split")): _*)
+  }
+
+  /** Gopher-style repetition-quality features: per doc, total/distinct
+    * token counts and the frequency of the single most-repeated word
+    * bigram; `is_repetitive` fires when the top bigram accounts for more
+    * than 20% of all bigrams (integer cross-multiplication — the Gopher
+    * "fraction of characters in most common 2-gram" family of rules,
+    * token-count flavored). Single-token docs have no bigrams and are
+    * never repetitive.
+    *
+    * Scale shape: one explode + two keyed aggregations, both
+    * map-side-combinable ((doc) and (doc, bigram)); the bigram itself
+    * comes from a lead() window inside the per-doc sort — no
+    * corpus-sized state beyond the group-by shuffles.
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val tok = tokens(docs, idCol, textCol)
+    val stats = tok.groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+           countDistinct("w").cast("int").as("n_distinct_tokens"))
+    val top = tok
+      .withColumn("w2", lead("w", 1).over(byDoc))
+      .where(col("w2").isNotNull)
+      .withColumn("bigram", concat_ws(" ", col("w"), col("w2")))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(idCol)
+      .agg(sum("n").cast("int").as("n_bigrams"),
+           max("n").cast("int").as("top_bigram_n"))
+    stats.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+              coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+              coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"))
+      .withColumn("is_repetitive", col("top_bigram_n") * 5 > col("n_bigrams"))
+  }
+
+  /** Source-mixture epoch weighting: per source, doc/token totals and the
+    * integer epoch factor that levels every source up toward the largest
+    * one — epochs = min(⌈max_source_tokens / tokens⌉, cap) (ceiling
+    * division in integers; the cap bounds small-source repetition, the
+    * standard ≤4-epoch rule of thumb). `weighted_tokens` is the
+    * post-mixing token budget the source contributes.
+    *
+    * Scale shape: a per-source aggregate (map-side combinable) of
+    * corpus-wide counts, then a max over the handful of source rows —
+    * the second "shuffle" moves one row per source.
+    */
+  def mixtureEpochs(docs: DataFrame, capEpochs: Int = 4,
+                    srcCol: String = "source", textCol: String = "text")
+      : DataFrame = {
+    require(capEpochs >= 1, s"epoch cap must be >= 1, got $capEpochs")
+    val perSrc = docs.groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    perSrc
+      // global max via a window over the POST-AGG relation: the
+      // "no partition defined" WindowExec warning is a false positive
+      // here — the single-partition exchange moves one row per SOURCE,
+      // not per doc, and the corpus is scanned exactly once (asserted in
+      // CurationSpec; a crossJoin against perSrc.agg(max) does NOT reuse
+      // the agg exchange — column pruning makes the subtrees differ —
+      // and so scans the corpus twice)
+      .withColumn("max_tokens",
+        max("n_tokens").over(Window.partitionBy(lit(1))))
+      .withColumn("epochs",
+        least(expr("(max_tokens + n_tokens - 1) div n_tokens"),
+              lit(capEpochs.toLong)))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+              col("epochs").cast("int").as("epochs"),
+              (col("epochs") * col("n_tokens")).cast("long").as("weighted_tokens"))
+  }
+}
