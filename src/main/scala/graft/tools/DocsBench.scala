@@ -93,12 +93,38 @@ object DocsBench {
     }
     val stages = funnelRows.map(r =>
       s""""${r.getString(1)}":${r.getLong(2)}""").mkString("{", ",", "}")
+    // curation family (round 5): decontamination against a ~n/211-doc
+    // benchmark slice (eval sets are orders of magnitude smaller than
+    // the corpus — the broadcast-side contract), the stratified split
+    // over 7 synthetic source strata (~n/7-row hot-stratum windows),
+    // and the repetition features (full token explode + two aggs)
+    val strat = docs.withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(7))))
+    val (nContam, tDecon) = time {
+      graft.text.Curation.decontaminate(
+        docs.where(col("doc_id") % 211 =!= 7),
+        docs.where(col("doc_id") % 211 === 7), n = 8).count()
+    }
+    val (nVal, tSplit) = time {
+      graft.text.Curation.stratifiedSplit(strat)
+        .where(col("split") === "val").count()
+    }
+    val (nRep, tRep) = time {
+      graft.text.Curation.repetition(docs)
+        .where(col("is_repetitive")).count()
+    }
     val json =
       f"""{"bench":"docs","n":$n,"cpus":$cpus,"dedup_sec":$tDedup%.2f,
          |"dedup_docs_per_sec":${(n / tDedup).toLong},"pairs_sec":$tPairs%.2f,
          |"pairs_docs_per_sec":${(n / tPairs).toLong},"funnel_sec":$tFunnel%.2f,
          |"funnel_docs_per_sec":${(n / tFunnel).toLong},"dup_groups":$nd,
-         |"neardup_pairs":$np,"funnel":$stages}"""
+         |"neardup_pairs":$np,"funnel":$stages,
+         |"decontam_sec":$tDecon%.2f,"decontam_docs_per_sec":${(n / tDecon).toLong},
+         |"contaminated":$nContam,
+         |"split_sec":$tSplit%.2f,"split_docs_per_sec":${(n / tSplit).toLong},
+         |"val_docs":$nVal,
+         |"repetition_sec":$tRep%.2f,"repetition_docs_per_sec":${(n / tRep).toLong},
+         |"repetitive_docs":$nRep}"""
         .stripMargin.replace("\n", "")
     println(json)
     val out = sys.env.getOrElse("GRAFT_DOCS_OUT", "/tmp/docsbench.json")
