@@ -834,6 +834,13 @@ object SparkEntry {
     // source-mixture epoch weighting (≤4 epochs levelling toward the
     // largest source)
     "q_mix_epochs" -> ((s, dir) => Curation.mixtureEpochs(docs(s, dir))),
+    // context-length chunking: 64-token windows advancing by 48 (16-token
+    // overlap) — shuffle-free explode, the long-doc prep before packing
+    "q_doc_chunks" -> ((s, dir) =>
+      Curation.chunk(docs(s, dir), window = 64, stride = 48)),
+    // the mixture plan APPLIED: one row per (doc, epoch) training pass,
+    // epochs broadcast per source
+    "q_mix_apply" -> ((s, dir) => Curation.applyMixture(docs(s, dir))),
     // --- post-hash pipelines under the driver oracle (round-5): the
     // xxhash64 signature stage of each query is materialized ONCE per
     // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
@@ -1939,6 +1946,36 @@ object SparkEntry {
         |       CAST(LEAST((max_tokens + n_tokens - 1) // n_tokens, 4)
         |            * n_tokens AS BIGINT) AS weighted_tokens
         |FROM m""".stripMargin,
+    // context-length chunking: chunk k of doc d = tokens [k*48, k*48+64)
+    // for every k*48 < n; DuckDB's 1-based inclusive list_slice mirrors
+    // Spark's slice(arr, start, length)
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n,
+        |             CAST(k.i AS INTEGER) AS chunk_idx
+        |      FROM d, UNNEST(generate_series(0,
+        |             CAST((len(toks) - 1) // 48 AS BIGINT))) AS k(i))
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+        |                                  LEAST(chunk_idx * 48 + 64, n)), ' ')
+        |         AS chunk_text,
+        |       CAST(LEAST(64, n - chunk_idx * 48) AS INTEGER) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+    // mixture application: epochs(source) recomputed as in q_mix_epochs,
+    // then one row per (doc, epoch) via a lateral series
+    "q_mix_apply" ->
+      """WITH perSrc AS (
+        |  SELECT source,
+        |         CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT source,
+        |             CAST(LEAST((MAX(n_tokens) OVER () + n_tokens - 1)
+        |                  // n_tokens, 4) AS INTEGER) AS epochs
+        |      FROM perSrc)
+        |SELECT d.doc_id, d.source, CAST(e.i AS INTEGER) AS epoch
+        |FROM documents d JOIN m USING (source),
+        |     UNNEST(generate_series(1, CAST(m.epochs AS BIGINT))) AS e(i)""".stripMargin,
     "q_doc_lang" ->
       """SELECT doc_id, lang,
         |       CASE WHEN CAST(len(regexp_extract_all(lower(text),

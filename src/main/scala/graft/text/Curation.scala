@@ -140,6 +140,61 @@ object Curation {
       .withColumn("is_repetitive", col("top_bigram_n") * 5 > col("n_bigrams"))
   }
 
+  /** Context-length chunking: split each document's whitespace tokens
+    * into fixed-size windows of `window` tokens advancing by `stride`
+    * (stride < window ⇒ overlapping chunks — the standard
+    * long-document-to-context-length prep before tokenization). Chunk k
+    * starts at token k·stride for every k with k·stride < n_tokens; the
+    * last chunk may be shorter. Output: (idCol, chunk_idx, chunk_text,
+    * n_chunk_tokens).
+    *
+    * Scale shape: embarrassingly parallel — one scan, a per-row explode
+    * of ⌈n/stride⌉ chunk indexes, no shuffle at all (the split array is
+    * computed once per input row by the Generate node and sliced per
+    * chunk). Output volume is the only cost: ~window/stride × corpus.
+    */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"chunk window must be >= 1, got $window")
+    require(stride >= 1, s"chunk stride must be >= 1, got $stride")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col(idCol), col("toks"), col("n"),
+        explode(sequence(lit(0L), floor((col("n") - 1) / lit(stride))))
+          .as("k"))
+      .withColumn("chunk_idx", col("k").cast("int"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("toks"),
+          col("chunk_idx") * lit(stride) + lit(1), lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), col("n") - col("chunk_idx") * lit(stride))
+          .cast("int").as("n_chunk_tokens"))
+  }
+
+  /** Apply a source-mixture plan: replicate every document `epochs`
+    * times, where epochs comes from [[mixtureEpochs]] — the materialized
+    * epoch-expanded training corpus (one row per (doc, epoch) pass), in
+    * the deterministic order a downstream shuffle/pack stage consumes.
+    * Output: (idCol, srcCol, epoch ∈ [1, epochs(source)]).
+    *
+    * Scale shape: the epoch table is one row per SOURCE — broadcast to
+    * the corpus scan, then a per-row explode of ≤ capEpochs ints; no
+    * shuffle beyond mixtureEpochs' own per-source aggregate. Two corpus
+    * scans total (one to weigh, one to expand) — unavoidable without
+    * caching, and both are full-scan-shaped anyway.
+    */
+  def applyMixture(docs: DataFrame, capEpochs: Int = 4,
+                   srcCol: String = "source", idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val ep = mixtureEpochs(docs, capEpochs, srcCol, textCol)
+      .select(col(srcCol), col("epochs"))
+    docs
+      .join(broadcast(ep), srcCol)
+      .select(col(idCol), col(srcCol),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+  }
+
   /** Source-mixture epoch weighting: per source, doc/token totals and the
     * integer epoch factor that levels every source up toward the largest
     * one — epochs = min(⌈max_source_tokens / tokens⌉, cap) (ceiling

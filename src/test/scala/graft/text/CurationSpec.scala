@@ -98,6 +98,48 @@ class CurationSpec extends SparkSuite {
       ("small", 1L, 10L, 4, 40L)))
   }
 
+  test("chunk produces stride-spaced windows with a short tail") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9: lengths 4,4,4,1
+    val docs = docsDf((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s"))
+    val out = Curation.chunk(docs, window = 4, stride = 3)
+      .as[(Long, Int, String, Int)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      (1L, 0, "t0 t1 t2 t3", 4),
+      (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t6 t7 t8 t9", 4),
+      (1L, 3, "t9", 1)))
+  }
+
+  test("chunk of a doc shorter than one window is the doc itself") {
+    val docs = docsDf((1L, "a b", "en", "s"), (2L, "x", "en", "s"))
+    val out = Curation.chunk(docs, window = 8, stride = 8)
+      .as[(Long, Int, String, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0, "a b", 2), (2L, 0, "x", 1)))
+  }
+
+  test("chunk with stride == window tiles without overlap or loss") {
+    val words = (0 until 130).map(i => s"w$i")
+    val docs = docsDf((1L, words.mkString(" "), "en", "s"))
+    val out = Curation.chunk(docs, window = 64, stride = 64)
+      .as[(Long, Int, String, Int)].collect().sortBy(_._2)
+    assert(out.map(_._4).toSeq == Seq(64, 64, 2))
+    assert(out.flatMap(_._3.split(" ")).toSeq == words)
+  }
+
+  test("applyMixture replicates each doc epochs(source) times") {
+    val docs = docsDf(
+      Seq.tabulate(2)(i => (i.toLong, Seq.fill(50)("w").mkString(" "), "en", "big")) ++
+      Seq((10L, Seq.fill(30)("w").mkString(" "), "en", "mid")) ++
+      Seq((20L, Seq.fill(10)("w").mkString(" "), "en", "small")): _*)
+    val out = Curation.applyMixture(docs, capEpochs = 4)
+      .as[(Long, String, Int)].collect()
+    // big: 1 epoch x 2 docs; mid: 4 epochs x 1 doc; small: capped 4 x 1
+    assert(out.count(_._2 == "big") == 2)
+    assert(out.filter(_._1 == 10L).map(_._3).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(out.filter(_._1 == 20L).map(_._3).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(out.length == 10)
+  }
+
   test("mixtureEpochs scans the corpus exactly once") {
     val docs = docsDf((0L until 8L).map(i =>
       (i, Seq.fill(5)("w").mkString(" "), "en", s"s${i % 3}")): _*)
