@@ -8,7 +8,7 @@ import graft.gfa.{GfaParse, SplitAlignment}
 import graft.graph.Graph
 import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
 import graft.sim.{Ivf, Knn}
-import graft.text.{Curation, Dedup, TextAnalysis}
+import graft.text.{Curation, Dedup, Packing, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -841,6 +841,11 @@ object SparkEntry {
     // the mixture plan APPLIED: one row per (doc, epoch) training pass,
     // epochs broadcast per source
     "q_mix_apply" -> ((s, dir) => Curation.applyMixture(docs(s, dir))),
+    // GPT-style sequence packing coordinates: global token offsets via
+    // the TWO-PHASE bucketed prefix sum (bucketSize 128 ⇒ genuinely
+    // multi-bucket at every sf), 256-token sequences
+    "q_pack_offsets" -> ((s, dir) =>
+      Packing.packOffsets(docs(s, dir), budget = 256, bucketSize = 128)),
     // --- post-hash pipelines under the driver oracle (round-5): the
     // xxhash64 signature stage of each query is materialized ONCE per
     // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
@@ -1976,6 +1981,21 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, CAST(e.i AS INTEGER) AS epoch
         |FROM documents d JOIN m USING (source),
         |     UNNEST(generate_series(1, CAST(m.epochs AS BIGINT))) AS e(i)""".stripMargin,
+    // sequence packing: the oracle computes the SAME offsets with the
+    // naive single global window — the two-phase bucketed sum must agree
+    "q_pack_offsets" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS tok_offset
+        |      FROM d)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, tok_offset,
+        |       CAST(tok_offset // 256 AS INTEGER) AS seq_first,
+        |       CAST((tok_offset + n_tokens - 1) // 256 AS INTEGER) AS seq_last
+        |FROM o""".stripMargin,
     "q_doc_lang" ->
       """SELECT doc_id, lang,
         |       CASE WHEN CAST(len(regexp_extract_all(lower(text),
