@@ -113,6 +113,12 @@ object DocsBench {
       graft.text.Curation.repetition(docs)
         .where(col("is_repetitive")).count()
     }
+    // sequence packing: 2048-token cuts, 16k-id buckets (61 buckets at
+    // 1M docs — the two-phase path, not the degenerate single bucket)
+    val (nStraddle, tPack) = time {
+      graft.text.Packing.packOffsets(docs, budget = 2048, bucketSize = 16384)
+        .where(col("seq_first") =!= col("seq_last")).count()
+    }
     val json =
       f"""{"bench":"docs","n":$n,"cpus":$cpus,"dedup_sec":$tDedup%.2f,
          |"dedup_docs_per_sec":${(n / tDedup).toLong},"pairs_sec":$tPairs%.2f,
@@ -124,7 +130,9 @@ object DocsBench {
          |"split_sec":$tSplit%.2f,"split_docs_per_sec":${(n / tSplit).toLong},
          |"val_docs":$nVal,
          |"repetition_sec":$tRep%.2f,"repetition_docs_per_sec":${(n / tRep).toLong},
-         |"repetitive_docs":$nRep}"""
+         |"repetitive_docs":$nRep,
+         |"pack_sec":$tPack%.2f,"pack_docs_per_sec":${(n / tPack).toLong},
+         |"straddling_docs":$nStraddle}"""
         .stripMargin.replace("\n", "")
     println(json)
     val out = sys.env.getOrElse("GRAFT_DOCS_OUT", "/tmp/docsbench.json")
