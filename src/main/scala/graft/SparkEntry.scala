@@ -153,6 +153,24 @@ object SparkEntry {
           .select(col("conv_id"), col("user_idx"), col("asst_idx"),
                   col("latency_us"))
     }),
+    // the LEFT OUTER stream-stream join — the third watermark semantic
+    // under the oracle: unanswered user turns emit null-padded rows ONLY
+    // once the watermark proves no reply can arrive (one batch after it
+    // advances → two sentinels). Oracle = the same relation as LEFT JOIN
+    // with the assistant-side predicates in the ON clause.
+    "q_stream_pairing_outer" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        Pairing.userAssistant(T(s, dir)).limit(0)
+      else
+        runStream(s, rows, "q_stream_pairing_outer", nSentinels = 2,
+                  sentinelRoles = Seq("user", "assistant")) { src =>
+          graft.stream.CepQueries.userAssistantJoinOuter(
+            src, watermark = "10 minutes", maxWait = "2 hours")
+        }
+          .select(col("conv_id"), col("user_idx"), col("asst_idx"),
+                  col("latency_us"))
+    }),
     // T6 under the driver oracle: flatMapGroupsWithState keyed CSR state
     // on the ACTUAL incremental path — per-conversation state merged
     // across triggers, finalized by EventTimeTimeout once the sentinel
@@ -1270,6 +1288,13 @@ object SparkEntry {
   private def runStream(s: SparkSession, rows: Array[graft.schema.Turn],
                         tag: String, nSentinels: Int,
                         sentinelGapMs: Long = 48L * 3600 * 1000,
+                        // roles the sentinel turns carry: a query whose
+                        // per-side watermark operators sit BEHIND role
+                        // filters (the stream-stream OUTER join) needs a
+                        // sentinel PER SIDE — the global watermark is the
+                        // min over sides, and a side whose filter drops
+                        // the sentinel is stuck at its real-data horizon
+                        sentinelRoles: Seq[String] = Seq("user"),
                         // how to strip the sentinel turns' own rows from
                         // the sink table — aggregates that do not carry
                         // conv_id (q_stream_rate) filter on event time
@@ -1292,9 +1317,10 @@ object SparkEntry {
       ms.addData(b1); q.processAllAvailable()
       ms.addData(b2); q.processAllAvailable()
       (1 to nSentinels).foreach { i =>
-        ms.addData(Seq(graft.schema.Turn(StreamSentinelConv, 0, "user", "s",
-          None,
-          new java.sql.Timestamp(rows.last.ts.getTime + i * sentinelGapMs))))
+        ms.addData(sentinelRoles.zipWithIndex.map { case (role, j) =>
+          graft.schema.Turn(StreamSentinelConv, j, role, "s", None,
+            new java.sql.Timestamp(rows.last.ts.getTime + i * sentinelGapMs))
+        })
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -1415,6 +1441,18 @@ object SparkEntry {
          |  AND u.ts IS NOT NULL AND a.ts IS NOT NULL
          |  AND date_diff('microsecond', u.ts, a.ts)
          |      BETWEEN 0 AND ${2L * 3600 * 1000000}""".stripMargin),
+    // the LEFT OUTER form: assistant-side predicates move into ON so
+    // unanswered user turns survive with null asst_idx / latency_us
+    "q_stream_pairing_outer" -> tsql(
+      s"""SELECT u.conv_id, u.turn_idx AS user_idx, a.turn_idx AS asst_idx,
+         |       date_diff('microsecond', u.ts, a.ts) AS latency_us
+         |FROM turns u LEFT JOIN turns a
+         |  ON u.conv_id = a.conv_id AND a.turn_idx = u.turn_idx + 1
+         |  AND a.role = 'assistant' AND a.ts IS NOT NULL
+         |  AND date_diff('microsecond', u.ts, a.ts)
+         |      BETWEEN 0 AND ${2L * 3600 * 1000000}
+         |WHERE u.role = 'user' AND u.ts IS NOT NULL
+         |  AND regexp_matches(u.conv_id, '^c[0-9]d')""".stripMargin),
     // q_csr_agg's relation over the fed subset — the Spark side runs the
     // actual flatMapGroupsWithState path and emits these rows only via
     // EventTimeTimeout finalization

@@ -125,4 +125,35 @@ object CepQueries {
       .select(col("u_conv").as("conv_id"), col("user_idx"), col("asst_idx"),
               expr("timestampdiff(MICROSECOND, user_ts, asst_ts)").as("latency_us"))
   }
+
+  /** [[userAssistantJoin]]'s LEFT OUTER form — the "unanswered user
+    * turn" detector: user turns with no assistant reply within `maxWait`
+    * emit a null-padded row. On the streaming path this is the third
+    * watermark semantic (after aggregate finalization and state
+    * eviction): Spark may emit a null-padded outer row ONLY once the
+    * watermark proves no matching right row can still arrive (user_ts +
+    * maxWait + delay), one micro-batch after the watermark advances — so
+    * a driver flushing with sentinels needs two. Same state bounds as
+    * the inner join; the outer rows add no state, only deferred output.
+    */
+  def userAssistantJoinOuter(turns: DataFrame,
+                             watermark: String = "10 minutes",
+                             maxWait: String = "2 hours"): DataFrame = {
+    val u = turns.where(col("role") === "user")
+      .select(col("conv_id").as("u_conv"), col("turn_idx").as("user_idx"),
+              col("ts").as("user_ts"))
+      .withWatermark("user_ts", watermark)
+    val a = turns.where(col("role") === "assistant")
+      .select(col("conv_id").as("a_conv"), col("turn_idx").as("asst_idx"),
+              col("ts").as("asst_ts"))
+      .withWatermark("asst_ts", watermark)
+    u.join(a,
+        col("u_conv") === col("a_conv") &&
+        col("asst_idx") === col("user_idx") + 1 &&
+        col("asst_ts") >= col("user_ts") &&
+        col("asst_ts") <= col("user_ts") + expr(s"INTERVAL $maxWait"),
+        "leftOuter")
+      .select(col("u_conv").as("conv_id"), col("user_idx"), col("asst_idx"),
+              expr("timestampdiff(MICROSECOND, user_ts, asst_ts)").as("latency_us"))
+  }
 }

@@ -146,6 +146,63 @@ class StreamingSpec extends SparkSuite {
     assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
   }
 
+  test("T5 outer stream-stream join: null-padded rows need per-side sentinels") {
+    // the LEFT OUTER join's null-padded rows emit only once the GLOBAL
+    // watermark (min over both sides) proves no reply can arrive — a
+    // sentinel visible to one side's role filter leaves the other side's
+    // watermark at its real-data horizon and the outer rows unemitted
+    val ms = MemoryStream[Turn](
+      implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
+    val out = CepQueries.userAssistantJoinOuter(
+      ms.toDF(), watermark = "1 minute", maxWait = "2 hours")
+    val query = out.writeStream.format("memory")
+      .queryName(s"pair_outer_${System.nanoTime()}")
+      .outputMode("append").start()
+    // the synthetic fixture answers every user turn inside maxWait — the
+    // outer rows it would emit are exactly the inner join's, so plant
+    // the two genuinely-unanswered shapes: no reply at all, and a reply
+    // past the maxWait horizon
+    val planted = Seq(
+      Turn("x_unanswered", 0, "user", "u", None,
+           new Timestamp(maxTs - 3600 * 1000)),
+      Turn("x_late_reply", 0, "user", "u", None,
+           new Timestamp(maxTs - 4 * 3600 * 1000)),
+      Turn("x_late_reply", 1, "assistant", "a", None,
+           new Timestamp(maxTs - 1800 * 1000)))
+    val sorted = (data ++ planted).sortBy(_.ts.getTime)
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    ms.addData(b1); query.processAllAvailable()
+    ms.addData(b2); query.processAllAvailable()
+    (1 to 2).foreach { i =>
+      val ts = new Timestamp(maxTs + i * 48L * 3600 * 1000)
+      ms.addData(Seq(sentinel.copy(ts = ts),
+                     sentinel.copy(turn_idx = 1, role = "assistant", ts = ts)))
+      query.processAllAvailable()
+    }
+    val s = spark.table(query.name)
+      .where(col("conv_id") =!= sentinel.conv_id)
+      .select("conv_id", "user_idx", "asst_idx", "latency_us")
+    val batch = spark.createDataset(data ++ planted).toDF()
+    val u = batch.where(col("role") === "user")
+      .select(col("conv_id"), col("turn_idx").as("user_idx"),
+              col("ts").as("u_ts"))
+    val a = batch.where(col("role") === "assistant")
+      .select(col("conv_id").as("a_conv"), col("turn_idx").as("asst_idx"),
+              col("ts").as("a_ts"))
+    val b = u.join(a,
+        col("conv_id") === col("a_conv") &&
+        col("asst_idx") === col("user_idx") + 1 &&
+        col("a_ts") >= col("u_ts") &&
+        col("a_ts") <= col("u_ts") + expr("INTERVAL 2 hours"), "leftOuter")
+      .select(col("conv_id"), col("user_idx"), col("asst_idx"),
+              expr("timestampdiff(MICROSECOND, u_ts, a_ts)").as("latency_us"))
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+    // the fixture genuinely has unanswered user turns, else the outer
+    // semantics are untested
+    assert(b.where(col("asst_idx").isNull).count() > 0)
+    query.stop()
+  }
+
   test("T6 CSR state: incremental updates + event-time timeout finalization") {
     val ms = MemoryStream[Turn](
       implicitly[org.apache.spark.sql.Encoder[Turn]], spark.sqlContext)
