@@ -864,6 +864,11 @@ object SparkEntry {
     // multi-bucket at every sf), 256-token sequences
     "q_pack_offsets" -> ((s, dir) =>
       Packing.packOffsets(docs(s, dir), budget = 256, bucketSize = 128)),
+    // corpus bigram count table, top-5 per source (count + doc frequency
+    // — the df side of TF-IDF): row-local gram generation, map-side
+    // partial-combined count, top-k window over the vocabulary-sized agg
+    "q_ngram_counts" -> ((s, dir) =>
+      TextAnalysis.wordNgramTopK(docs(s, dir), n = 2, k = 5)),
     // --- post-hash pipelines under the driver oracle (round-5): the
     // xxhash64 signature stage of each query is materialized ONCE per
     // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
@@ -2034,6 +2039,28 @@ object SparkEntry {
         |       CAST(tok_offset // 256 AS INTEGER) AS seq_first,
         |       CAST((tok_offset + n_tokens - 1) // 256 AS INTEGER) AS seq_last
         |FROM o""".stripMargin,
+    // corpus bigram top-5 per source: grams via the same pos-ascending
+    // sliding string_agg frame as q_decontam; integer counts + the
+    // ngram-string tie-break make the top-k row set deterministic
+    "q_ngram_counts" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, source, CAST(t.i - 1 AS INTEGER) AS pos,
+        |               toks[CAST(t.i AS INTEGER)] AS w
+        |        FROM d, UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS t(i)),
+        |g AS (SELECT doc_id, source, pos,
+        |             string_agg(w, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS ngram,
+        |             COUNT(*) OVER (PARTITION BY doc_id) AS ntok
+        |      FROM tok),
+        |c AS (SELECT source, ngram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM g WHERE pos <= ntok - 2 GROUP BY 1, 2)
+        |SELECT source, ngram, n_occ, n_docs, rank FROM (
+        |  SELECT source, ngram, n_occ, n_docs,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY n_occ DESC, ngram) AS INTEGER) AS rank
+        |  FROM c) WHERE rank <= 5""".stripMargin,
     "q_doc_lang" ->
       """SELECT doc_id, lang,
         |       CASE WHEN CAST(len(regexp_extract_all(lower(text),

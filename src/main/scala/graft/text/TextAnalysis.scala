@@ -136,4 +136,36 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Corpus word-n-gram count table with per-source top-k — the canonical
+    * count-based LM / corpus-statistics workload (and the df side of
+    * TF-IDF): one row per (source, ngram) among each source's `k` most
+    * frequent n-grams, with its total occurrence count and document
+    * frequency. Ordering ties break on the n-gram string, so the result
+    * is fully deterministic.
+    *
+    * Scale shape: n-gram generation is ROW-LOCAL — `zip_with` over n
+    * shifted `slice`s of the token array, whose lambda touches only its
+    * own lambda variables (a lambda CAPTURING the computed token array
+    * would re-evaluate the split per element — the measured O(L²)
+    * CollapseProject trap, see [[winnowedFingerprints]]) — so the only
+    * shuffles are the count aggregation (map-side partial combine over
+    * exploded grams) and the per-source top-k window, which runs over the
+    * already-aggregated vocabulary-sized table, not the corpus.
+    */
+  def wordNgramTopK(docs: DataFrame, n: Int = 2, k: Int = 5): DataFrame = {
+    require(n >= 2, "use tokenCount for unigrams")
+    val toks = split(col("text"), " ")
+    val m = greatest(size(toks) - (n - 1), lit(0)) // n-grams per doc
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), m), (a, b) => concat(a, lit(" "), b))
+    }
+    val counts = docs
+      .select(col("doc_id"), col("source"), explode(grams).as("ngram"))
+      .groupBy("source", "ngram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_occ").desc, col("ngram"))
+    counts.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }
