@@ -869,6 +869,12 @@ object SparkEntry {
     // partial-combined count, top-k window over the vocabulary-sized agg
     "q_ngram_counts" -> ((s, dir) =>
       TextAnalysis.wordNgramTopK(docs(s, dir), n = 2, k = 5)),
+    // TF-IDF keyword extraction with the float-free ppm score (within a
+    // doc the idf numerator is constant, so tf·1e6 div df ranks exactly
+    // like tf-idf — and integer division is bit-identical cross-engine
+    // where log() parity is not)
+    "q_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)),
     // --- post-hash pipelines under the driver oracle (round-5): the
     // xxhash64 signature stage of each query is materialized ONCE per
     // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
@@ -2061,6 +2067,26 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
         |           ORDER BY n_occ DESC, ngram) AS INTEGER) AS rank
         |  FROM c) WHERE rank <= 5""".stripMargin,
+    // TF-IDF keywords: tf over exploded whitespace terms, df over the
+    // distinct (doc, term) pairs, ppm integer-division score, top-3 per
+    // doc with the term tie-break
+    "q_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, toks[CAST(i.i AS INTEGER)] AS term
+        |      FROM d, UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS i(i)),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score_ppm
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score_ppm, rank FROM (
+        |  SELECT doc_id, term, tf, df, score_ppm,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY score_ppm DESC, term) AS INTEGER) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
     "q_doc_lang" ->
       """SELECT doc_id, lang,
         |       CASE WHEN CAST(len(regexp_extract_all(lower(text),

@@ -153,6 +153,33 @@ object TextAnalysis {
     * exploded grams) and the per-source top-k window, which runs over the
     * already-aggregated vocabulary-sized table, not the corpus.
     */
+  /** TF-IDF-style keyword extraction, float-free: the top-`k` terms per
+    * document ranked by `score_ppm = tf · 1e6 div df` (term frequency in
+    * the doc over corpus document frequency, parts-per-million integer
+    * division — within one document the idf numerator is a constant, so
+    * ranking by tf/df IS tf-idf ranking, and the integer form is
+    * bit-identical across engines where log() parity is not). Ties break
+    * on the term string; fully deterministic.
+    *
+    * Scale shape: tf = one count agg keyed (doc, term); df = one count
+    * agg keyed term over the distinct (doc, term) pairs tf already
+    * produced (no second corpus scan); the tf⋈df equi-join on term
+    * shuffles vocabulary-sized tables (AQE broadcasts df when small);
+    * the top-k window partitions by doc over the joined table.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score_ppm", expr("tf * 1000000L div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score_ppm", "rank")
+  }
+
   def wordNgramTopK(docs: DataFrame, n: Int = 2, k: Int = 5): DataFrame = {
     require(n >= 2, "use tokenCount for unigrams")
     val toks = split(col("text"), " ")

@@ -47,6 +47,27 @@ class NgramSpec extends SparkSuite {
     assert(out.map(_._2) == Set("a b c", "b c d"))
   }
 
+  test("tf-idf keywords: rare terms outrank frequent common terms") {
+    // "cat" appears 2× in doc0 but in all 3 docs (df 3 → 666,666 ppm);
+    // "rare" appears once in doc0 only (df 1 → 1,000,000 ppm): the
+    // rarer term must win despite the lower tf
+    val d = Seq(
+      (0L, "cat cat rare the"),
+      (1L, "cat the the"),
+      (2L, "cat the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(d, k = 2)
+      .as[(Long, String, Long, Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._6).map(r => (r._2, r._5)).toSeq
+      }
+    assert(out(0L) == Seq(("rare", 1000000L), ("cat", 666666L)))
+    // doc1: "the" tf=2 df=3 -> 666,666; "cat" tf=1 df=3 -> 333,333
+    assert(out(1L) == Seq(("the", 666666L), ("cat", 333333L)))
+    // doc2: tie at 333,333 — term string breaks it deterministically
+    assert(out(2L) == Seq(("cat", 333333L), ("the", 333333L)))
+  }
+
   test("plan shape: no per-document window before the aggregation") {
     // gram generation must be row-local (Generate over zip_with output);
     // the only Window in the plan is the per-source top-k AFTER the agg —
