@@ -39,6 +39,14 @@ object IntervalJoin {
                   payload: Seq[String],
                   bucket: String = "hour"): DataFrame = {
     require(keys.nonEmpty, "containment join needs at least one key column")
+    // enforce the documented no-collision contract (AsOfJoin.asOf has the
+    // same guard): a colliding appended column would otherwise surface as
+    // an ambiguous-reference analysis error deep inside the join
+    val appended = ((start +: end +: payload).distinct :+ "__ij_b") ++
+      keys.map(k => s"__ij_$k")
+    val clash = appended.filter(points.columns.contains)
+    require(clash.isEmpty,
+      s"interval columns collide with point columns: ${clash.mkString(", ")}")
     // interval side under renamed keys: unique names keep the join
     // unambiguous even when `intervals` derives from `points` (the usual
     // self-derived sessions/breakpoints shape)

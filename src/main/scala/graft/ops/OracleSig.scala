@@ -32,6 +32,17 @@ object OracleSig {
 
   val Root = "/tmp/graft_oracle_sig"
 
+  /** Bump with ANY signature-table schema change: the version rides the
+    * tag directory name, and [[materialize]] deletes sibling tags of a
+    * DIFFERENT version before writing — a stale table from older code can
+    * therefore never feed a mixed-schema read into the oracle's
+    * multi-tag glob.
+    */
+  val SchemaVersion = 2
+
+  def tagOf(sfDir: String): String =
+    new java.io.File(sfDir).getName + s"_v$SchemaVersion"
+
   def path(sfTag: String, table: String): String = s"$Root/$sfTag/$table"
 
   /** The glob the oracle SQL reads: ALL sf tags' materializations of one
@@ -85,13 +96,50 @@ object OracleSig {
   def materialize(s: SparkSession, sfDir: String, table: String,
                   fp: => Long)(build: => DataFrame): DataFrame = {
     written.keySet.removeIf(_._1.sparkContext.isStopped)
-    val tag = new java.io.File(sfDir).getName
+    val tag = tagOf(sfDir)
     val p = written.computeIfAbsent((s, sfDir, table), { _ =>
+      val fs = new org.apache.hadoop.fs.Path(Root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      dropStaleSiblings(fs, tag, table)
       val target = path(tag, table)
+      // write-to-temp + atomic rename: a concurrent JVM (bench and verify
+      // on the same sf) reading `target` — or DuckDB mid-oracle — sees
+      // either the complete old table or the complete new one, never a
+      // half-written directory
+      val tmp = s"$target.tmp-${java.util.UUID.randomUUID()}"
       build.withColumn("corpus_fp", lit(fp))
-        .write.mode("overwrite").parquet(target)
+        .write.mode("overwrite").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                     new org.apache.hadoop.fs.Path(target)))
+        // another JVM won the delete→rename race; its table was built by
+        // the same code version over the same corpus — use it
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       target
     })
     s.read.parquet(p).drop("corpus_fp")
+  }
+
+  /** Remove (a) tag directories written by a DIFFERENT schema version —
+    * their tables would feed mixed-schema rows into the oracle glob — and
+    * (b) orphaned `<table>.tmp-*` staging dirs under the current tag
+    * (a crashed earlier writer); live same-version sibling tags are kept
+    * (their rows are filtered by `corpus_fp`, by design).
+    */
+  private def dropStaleSiblings(fs: org.apache.hadoop.fs.FileSystem,
+                                tag: String, table: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(Root)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && !name.endsWith(s"_v$SchemaVersion"))
+        fs.delete(st.getPath, true)
+    }
+    val tagDir = new org.apache.hadoop.fs.Path(s"$Root/$tag")
+    if (fs.exists(tagDir))
+      fs.listStatus(tagDir).foreach { st =>
+        if (st.getPath.getName.startsWith(s"$table.tmp-"))
+          fs.delete(st.getPath, true)
+      }
   }
 }

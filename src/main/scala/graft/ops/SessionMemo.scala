@@ -61,7 +61,18 @@ class SessionMemoOf[K, V](maxEntries: Int = 64,
       else { val c = new Cell(s); m.put(key, c); c }
     }
     cell.synchronized {
-      if (!cell.done) { cell.value = build; cell.done = true }
+      if (!cell.done) {
+        // a failed build must not leave the not-done cell in the map:
+        // removeEldestEntry skips not-done eldests, so one permanently
+        // failing key would block ALL eviction (and pin every persisted
+        // DataFrame behind it) forever
+        try { cell.value = build; cell.done = true }
+        catch {
+          case t: Throwable =>
+            m.synchronized(m.remove((s, k), cell))
+            throw t
+        }
+      }
       cell.value
     }
   }

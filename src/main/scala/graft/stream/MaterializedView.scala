@@ -1,5 +1,6 @@
 package graft.stream
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -21,14 +22,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * rows with the same values: idempotent (MatViewSpec restarts mid-feed
   * under a kill and checks the final view).
   *
-  * Scale shape: this sandbox rewrites the whole (dimension-sized) view
-  * per batch; the production binding is the SAME delta stream merged
-  * by key into an Iceberg table bucketed on conv_id, where MERGE
-  * rewrites only the files the delta's buckets touch (file-level pruning
-  * — TranscriptSink demonstrates that partition-pruned merge shape on
-  * the day axis).
+  * Scale shape — BUCKET-PRUNED merge: the view table is laid out as
+  * `bucket=<hash(conv_id) mod nBuckets>` parquet partitions, and each
+  * trigger (a) reads back ONLY the partitions the delta's keys hash into
+  * (partition pruning on the bucket filter) and (b) rewrites ONLY those
+  * partitions via dynamic partition overwrite — untouched buckets' files
+  * are never read or rewritten (MatViewSpec asserts their files are
+  * byte-identical across an upsert). Per-trigger sink work is
+  * O(view/nBuckets × touched buckets), not O(view) — the same file-level
+  * pruning an Iceberg MERGE on a bucket-partitioned table performs. The
+  * write goes through the file-commit protocol (staging dirs + rename at
+  * commit), so a crash mid-write leaves the previous partition contents
+  * in place rather than a half-deleted table.
   */
 object MaterializedView {
+
+  /** Bucket count for the view layout. At 10^9 conversations pick
+    * O(10^4) so a bucket is a few tens of MB; here 16 keeps the driver
+    * fixture multi-bucket while still exercising pruning.
+    */
+  val nBuckets = 16
+
+  private def bucketOf(keyCol: String) =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int").as("bucket")
 
   /** The view definition over a (possibly streaming) turns relation. */
   def viewDef(turns: DataFrame): DataFrame =
@@ -36,6 +52,10 @@ object MaterializedView {
       .agg(count(lit(1)).as("n_turns"),
            count(col("tool")).as("n_tool_turns"),
            max(col("ts")).as("last_ts"))
+
+  /** Read the view back without its physical layout column. */
+  def readView(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath).drop("bucket")
 
   /** Start maintaining the view at `tablePath`, checkpointed. */
   def start(turns: DataFrame, tablePath: String, ckptPath: String)
@@ -48,23 +68,40 @@ object MaterializedView {
       }
       .start()
 
-  /** Replace-on-match upsert of one changed-keys delta. */
+  /** Replace-on-match upsert of one changed-keys delta into the
+    * delta-touched buckets only.
+    */
   def upsertBatch(spark: SparkSession, tablePath: String,
                   delta: DataFrame): Unit = {
     // localCheckpoint BEFORE touching the table path: materializes the
     // delta so the rewrite job no longer reads what it overwrites, and
     // truncates the micro-batch plan out of the write
-    val fresh = delta.dropDuplicates("conv_id").localCheckpoint(true)
+    val fresh = delta.dropDuplicates("conv_id")
+      .withColumn("bucket", bucketOf("conv_id"))
+      .localCheckpoint(true)
     if (fresh.isEmpty) return
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tablePath))) {
-      fresh.write.mode(SaveMode.Overwrite).parquet(tablePath)
-      return
-    }
+    // existence via the path's Hadoop FileSystem, not java.nio — a
+    // non-local scheme would otherwise always take the create branch and
+    // overwrite the whole view with just the delta
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writer = fresh.write.partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic")
+    if (!fs.exists(p)) { writer.mode(SaveMode.Overwrite).parquet(tablePath); return }
+    // touched-bucket list is ≤ nBuckets rows — a bounded driver collect
+    val touched = fresh.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val existing = spark.read.parquet(tablePath)
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned scan
     val merged = existing
       .join(fresh.select("conv_id"), Seq("conv_id"), "left_anti")
       .unionByName(fresh)
       .localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite).parquet(tablePath)
+    // dynamic partition overwrite: ONLY partitions present in `merged`
+    // (= the touched buckets) are replaced; all other bucket dirs keep
+    // their existing files untouched
+    merged.write.partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(tablePath)
   }
 }

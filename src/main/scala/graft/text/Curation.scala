@@ -26,23 +26,27 @@ object Curation {
              textCol: String = "text"): DataFrame =
     docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
 
-  /** (idCol, pos, gram): every word n-gram, assembled RELATIONALLY — a
-    * sliding collect_list window over the exploded token table, not a
-    * lambda over a captured array (which re-evaluates the split per
-    * element). Frame order is pos-ascending, so the joined gram string is
-    * deterministic; trailing positions with fewer than n tokens are
-    * trimmed by the per-doc count.
+  /** (idCol, pos, gram): every word n-gram, assembled ROW-LOCALLY —
+    * `zip_with` over n shifted `slice`s of the split array (the
+    * [[TextAnalysis.wordNgramTopK]] construction), so gram building is
+    * shuffle-FREE: the previous sliding collect_list window forced a
+    * corpus-tokens-sized sort shuffle just to see adjacent words. The
+    * shifted slices sit as plain (non-lambda) arguments of zip_with, so
+    * nothing re-evaluates per element (the O(L²) captured-subtree trap
+    * documented on [[TextAnalysis.winnowedFingerprints]] does not apply);
+    * `pos` is the 0-based start position via posexplode. Trailing
+    * positions with fewer than n tokens never materialize — the slices
+    * are already trimmed to size−(n−1).
     */
   def wordNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val byDoc = Window.partitionBy(idCol)
-    val sliding = byDoc.orderBy("pos").rowsBetween(0, n - 1)
-    tokens(docs, idCol, textCol)
-      .withColumn("gram", array_join(collect_list("w").over(sliding), " "))
-      .withColumn("cnt", count(lit(1)).over(byDoc))
-      .where(col("pos") <= col("cnt") - n)
-      .select(col(idCol), col("pos"), col("gram"))
+    val toks = split(col(textCol), " ")
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), m), (a, b) => concat(a, lit(" "), b))
+    }
+    docs.select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
   }
 
   /** Benchmark decontamination: flag every training document sharing at

@@ -36,10 +36,13 @@ object Packing {
       : DataFrame = {
     require(budget >= 1, s"sequence budget must be >= 1, got $budget")
     require(bucketSize >= 1, s"bucket size must be >= 1, got $bucketSize")
+    // `div` (integer division), not floor(a / b): Column `/` is double
+    // division, exact only below 2^53 — an extreme corpus's offsets
+    // would silently round. Matches the oracle's `//`.
     val perDoc = docs.select(
       col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-      floor(col(idCol) / bucketSize).as("bucket"))
+      expr(s"cast($idCol as bigint) div $bucketSize").as("bucket"))
     // phase 1: prefix sum WITHIN each bucket (bucket-partitioned window
     // — no global sort, no single-partition corpus pass)
     val intra = Window.partitionBy("bucket").orderBy(idCol)
@@ -60,9 +63,9 @@ object Packing {
       .select(col(idCol),
         col("n_tokens").cast("int").as("n_tokens"),
         (col("bucket_offset") + col("intra_offset")).as("tok_offset"),
-        floor((col("bucket_offset") + col("intra_offset")) / budget)
-          .cast("int").as("seq_first"),
-        floor((col("bucket_offset") + col("intra_offset") + col("n_tokens") - 1)
-          / budget).cast("int").as("seq_last"))
+        expr(s"cast((bucket_offset + intra_offset) div $budget as int)")
+          .as("seq_first"),
+        expr(s"cast((bucket_offset + intra_offset + n_tokens - 1) div $budget as int)")
+          .as("seq_last"))
   }
 }

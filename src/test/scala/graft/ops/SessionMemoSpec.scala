@@ -61,6 +61,21 @@ class SessionMemoSpec extends SparkSuite {
     assert(n.get() == 1)
   }
 
+  test("a failed build is removed from the map and does not block eviction") {
+    val memo = new SessionMemoOf[Int, String](maxEntries = 2)
+    intercept[RuntimeException] {
+      memo.getOrElseUpdate(spark, 1)(throw new RuntimeException("boom"))
+    }
+    // the poisoned cell must not linger as a never-done eldest
+    assert(memo.size == 0)
+    // a retry on the same key rebuilds cleanly
+    assert(memo.getOrElseUpdate(spark, 1)("ok") == "ok")
+    // and eviction still cycles: 3 inserts on maxEntries=2 stays bounded
+    memo.getOrElseUpdate(spark, 2)("b")
+    memo.getOrElseUpdate(spark, 3)("c")
+    assert(memo.size == 2)
+  }
+
   test("invalidate drops the entry and a rebuild happens on next access") {
     val memo = new SessionMemo[String]()
     memo.getOrElseUpdate(spark, "k")(persisted(7))

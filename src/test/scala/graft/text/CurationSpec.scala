@@ -140,6 +140,28 @@ class CurationSpec extends SparkSuite {
     assert(out.length == 10)
   }
 
+  test("wordNgrams emits every start position's gram, row-locally") {
+    val docs = docsDf((1L, "a b c d", "en", "s"), (2L, "x", "en", "s"))
+    val tri = Curation.wordNgrams(docs, 3)
+      .as[(Long, Int, String)].collect().sortBy(t => (t._1, t._2))
+    assert(tri.toSeq == Seq((1L, 0, "a b c"), (1L, 1, "b c d")))
+    val uni = Curation.wordNgrams(docs, 1)
+      .as[(Long, Int, String)].collect().sortBy(t => (t._1, t._2))
+    assert(uni.toSeq == Seq((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"),
+                            (1L, 3, "d"), (2L, 0, "x")))
+  }
+
+  test("wordNgrams takes no shuffle and no window sort") {
+    val docs = docsDf((0L until 8L).map(i =>
+      (i, (0 until 12).map(j => s"w$j").mkString(" "), "en", "s")): _*)
+    val df = Curation.wordNgrams(docs, 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+           !plan.contains("Sort"),
+      s"gram assembly must be row-local (no shuffle/window/sort):\n$plan")
+  }
+
   test("mixtureEpochs scans the corpus exactly once") {
     val docs = docsDf((0L until 8L).map(i =>
       (i, Seq.fill(5)("w").mkString(" "), "en", s"s${i % 3}")): _*)
