@@ -8,7 +8,7 @@ import graft.gfa.{GfaParse, SplitAlignment}
 import graft.graph.Graph
 import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
 import graft.sim.{Ivf, Knn}
-import graft.text.{Curation, Dedup, Packing, TextAnalysis}
+import graft.text.{Curation, Dedup, Packing, Redaction, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -26,6 +26,40 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic PII-augmented corpus for the redaction queries: the
+    * synthetic documents text contains no digits or '@' (verified
+    * corpus-wide), so a scrub over it would be VACUOUS under the oracle.
+    * Plant PII-shaped tokens derived from doc_id arithmetic instead —
+    * integer-exact, so the DuckDB oracle reconstructs the identical
+    * augmented text and the expected REDACTED text by construction (no
+    * regex on the oracle side): the compare certifies that
+    * [[graft.text.Redaction]]'s regex classes find exactly the planted
+    * tokens and nothing else. Plants: doc_id%3==0 → an email appended
+    * (doubled when %9==0: multi-match-per-doc coverage), %4==1 → an
+    * SSN-shaped 3-2-4 digit group appended, %5==2 → a phone-shaped 3-4
+    * group PREPENDED (mid-stream position coverage); classes overlap on
+    * shared residues (e.g. doc_id 12: email + phone).
+    */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
+    def m(n: Long) = pmod(col("doc_id"), lit(n))
+    val em = concat(lit("user"), m(100).cast("string"),
+                    lit("@mail"), m(7).cast("string"), lit(".com"))
+    val sn = concat(lpad(m(1000).cast("string"), 3, "0"), lit("-"),
+                    lpad(m(100).cast("string"), 2, "0"), lit("-"),
+                    lpad(m(10000).cast("string"), 4, "0"))
+    val ph = concat(lpad(pmod(col("doc_id") * 7, lit(1000L)).cast("string"), 3, "0"),
+                    lit("-"), lpad(m(10000).cast("string"), 4, "0"))
+    docs(s, dir).select(col("doc_id"),
+      concat(
+        when(m(5) === 2, concat(lit("call "), ph, lit(" "))).otherwise(lit("")),
+        col("text"),
+        when(m(3) === 0, concat(lit(" reach "), em,
+          when(m(9) === 0, concat(lit(" and "), em)).otherwise(lit(""))))
+          .otherwise(lit("")),
+        when(m(4) === 1, concat(lit(" ssn "), sn)).otherwise(lit("")))
+        .as("text"))
+  }
 
   /** Flagship query: conversation-graph stats (Q1) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
@@ -875,6 +909,16 @@ object SparkEntry {
     // where log() parity is not)
     "q_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)),
+    // PII scrub over the deterministically PII-augmented corpus (see
+    // [[piiDocs]]): regex-class redaction with per-class counts — one
+    // codegen'd corpus map, no UDFs, no shuffle. The oracle CONSTRUCTS
+    // the expected redacted text from the plants, so an over- or
+    // under-matching regex breaks the hash.
+    "q_doc_redact" -> ((s, dir) => Redaction.scrub(piiDocs(s, dir))),
+    // ... and the scrub's counted side output (the skip-and-warn reject
+    // philosophy): per-class total matches + documents touched
+    "q_redact_counts" -> ((s, dir) =>
+      Redaction.classCounts(Redaction.scrub(piiDocs(s, dir)))),
     // --- post-hash pipelines under the driver oracle (round-5): the
     // xxhash64 signature stage of each query is materialized ONCE per
     // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
@@ -2067,6 +2111,49 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
         |           ORDER BY n_occ DESC, ngram) AS INTEGER) AS rank
         |  FROM c) WHERE rank <= 5""".stripMargin,
+    // PII redaction: the oracle does NOT run a regex — it reconstructs
+    // the expected redacted text and per-class counts directly from the
+    // deterministic doc_id-arithmetic plants ([[piiDocs]]), so the
+    // compare certifies the Spark regexes match exactly the planted
+    // tokens (an over-match eats base text, an under-match leaves a raw
+    // plant — both break the hash)
+    "q_doc_redact" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 2 THEN 'call <PHONE> ' ELSE '' END
+        |         || text
+        |         || CASE WHEN doc_id % 3 = 0 THEN ' reach <EMAIL>'
+        |              || CASE WHEN doc_id % 9 = 0 THEN ' and <EMAIL>' ELSE '' END
+        |            ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 1 THEN ' ssn <SSN>' ELSE '' END
+        |         AS redacted,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |              CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END
+        |            ELSE 0 END AS INTEGER) AS n_email,
+        |       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER) AS n_ssn,
+        |       CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_phone,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |              CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END
+        |            ELSE 0 END
+        |          + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_pii
+        |FROM documents""".stripMargin,
+    "q_redact_counts" ->
+      """WITH n AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN
+        |           CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END
+        |         ELSE 0 END AS n_email,
+        |         CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n_ssn,
+        |         CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS n_phone
+        |  FROM documents)
+        |SELECT 'email' AS class, CAST(SUM(n_email) AS BIGINT) AS n_matches,
+        |       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        |FROM n
+        |UNION ALL
+        |SELECT 'ssn', CAST(SUM(n_ssn) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM n
+        |UNION ALL
+        |SELECT 'phone', CAST(SUM(n_phone) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM n""".stripMargin,
     // TF-IDF keywords: tf over exploded whitespace terms, df over the
     // distinct (doc, term) pairs, ppm integer-division score, top-3 per
     // doc with the term tie-break
