@@ -945,6 +945,47 @@ object SparkEntry {
         Dedup.minhashBands(sh, numHashes = 32, bands = 8))
       Dedup.minhashRankedFrom(sh, bands, limit = 200)
     }),
+    // INCREMENTAL near-dup (round-6): the corpus-growth shape — docs with
+    // doc_id < 200 arrive as two micro-batches and are banded against the
+    // BASE snapshot's materialized signature tables (the same mh_sh /
+    // mh_bands parquet as q_minhash_neardups, restricted to ids ≥ 200)
+    // plus the earlier batches' signature deltas; verified pairs append
+    // per batch (overwrite-by-batch-dir = replay-idempotent). The corpus
+    // is never re-shingled — per-batch work is batch-sized. Oracle: the
+    // full batch pair relation restricted to pairs with a fed endpoint.
+    "q_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val sh = graft.ops.OracleSig.materialize(s, dir, "mh_sh",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
+        Dedup.shingleTable(docs(s, dir), "doc_id", "text", shingleK = 5))
+      val bands = graft.ops.OracleSig.materialize(s, dir, "mh_bands",
+          graft.ops.OracleSig.docsFp(docs(s, dir)))(
+        Dedup.minhashBands(sh, numHashes = 32, bands = 8))
+      val rows = docs(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      if (rows.isEmpty)
+        sh.select(col("id").as("id_a"), col("id").as("id_b"),
+                  lit(0.0).as("jaccard")).limit(0)
+      else {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ms = MemoryStream[(Long, String)](
+          org.apache.spark.sql.Encoders.product[(Long, String)],
+          s.sqlContext)
+        val root = deleteOnExit(
+          java.nio.file.Files.createTempDirectory("q_stream_neardup"))
+        val q = graft.stream.IncrementalNearDup.start(
+          ms.toDF().toDF("doc_id", "text"),
+          sh.where(col("id") >= 200), bands.where(col("id") >= 200),
+          s"$root/delta", s"$root/pairs", s"$root/ckpt", threshold = 0.5)
+        try {
+          val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+        graft.stream.IncrementalNearDup.readPairs(s, s"$root/pairs")
+      }
+    }),
     // near-dup CLUSTERS (round-5): connected components over the verified
     // MinHash pair graph → one row per multi-doc cluster with the
     // canonical keeper (longest text, ties → lowest id) and the bytes a
@@ -2252,6 +2293,33 @@ object SparkEntry {
          |      FROM cand JOIN sh a ON a.id = id_a JOIN sh c ON c.id = id_b)
          |SELECT id_a, id_b, jaccard FROM v
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin,
+    // incremental near-dup: the batch pair pipeline (cap + banding join +
+    // jaccard verify over the SAME materialized signatures) thresholded
+    // at 0.5 and restricted to pairs with a streamed endpoint (doc_id <
+    // 200) — base×base pairs are exactly the ones the incremental pass
+    // must never emit. Bucket-cap note: the incremental cap is evaluated
+    // on the corpus-so-far; it coincides with this full-corpus QUALIFY
+    // whenever no bucket crosses the cap mid-stream (always true at test
+    // scale — max bucket ≪ 10⁴).
+    "q_stream_neardup" ->
+      s"""WITH b AS (SELECT id, band, band_hash
+         |           FROM read_parquet('${sigGlob("mh_bands")}')
+         |           WHERE corpus_fp = $docsFpSql
+         |           QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash)
+         |                   <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |         FROM b x JOIN b y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash
+         |         WHERE x.id < y.id),
+         |sh AS (SELECT id, sh FROM read_parquet('${sigGlob("mh_sh")}')
+         |       WHERE corpus_fp = $docsFpSql),
+         |v AS (SELECT id_a, id_b,
+         |        CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh)))
+         |          AS jaccard
+         |      FROM cand JOIN sh a ON a.id = id_a JOIN sh c ON c.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM v
+         |WHERE jaccard >= 0.5 AND (id_a < 200 OR id_b < 200)""".stripMargin,
     // q_minhash_neardups' pair pipeline (same materialized signatures,
     // thresholded instead of ranked) + a recursive min-label clustering
     // and the keeper/bytes-saved rollup

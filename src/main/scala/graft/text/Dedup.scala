@@ -132,6 +132,28 @@ object Dedup {
                    textCol: String = "text", shingleK: Int = 5): DataFrame =
     hashedDocs(docs, idCol, textCol, shingleK)
 
+  /** Non-memoized [[shingleTable]] for per-micro-batch inputs (the
+    * incremental near-dup path): the token-hash CollapseProject barrier
+    * is an eager localCheckpoint — freed with the plan — instead of a
+    * session-lifetime persist; a streaming job shingling thousands of
+    * batches must not accumulate cache entries (even LRU-bounded ones).
+    * Same output, bit for bit, as [[shingleTable]].
+    */
+  def shingleTableOnce(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleK: Int = 5)
+      : DataFrame = {
+    val thDf = docs
+      .select(col(idCol).as("id"),
+        transform(
+          split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "),
+          t => xxhash64(t)).as("th"))
+      .localCheckpoint(true)
+    thDf
+      .select(col("id"),
+              shingleHashesFromTokenHashes(col("th"), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+  }
+
   /** LSH band table (id, band, band_hash) of a shingle-hash table —
     * UNcapped; the bucket cap is applied by the candidate join so the
     * materialized artifact records every bucket (including the oversize
@@ -186,7 +208,7 @@ object Dedup {
                       numHashes, bands),
              Seq("band", "band_hash"), maxBucket)
 
-  private def verifyFrom(sh: DataFrame, candidates: DataFrame): DataFrame =
+  private[graft] def verifyFrom(sh: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
