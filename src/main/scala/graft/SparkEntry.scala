@@ -909,6 +909,17 @@ object SparkEntry {
     // where log() parity is not)
     "q_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)),
+    // bounded-memory heavy hitters: Misra-Gries typed Aggregator — at
+    // most `capacity` counters per group survive the map-side partial
+    // aggregation, so the shuffle is O(groups × capacity) at ANY
+    // vocabulary size (a plain count keys state by distinct value). The
+    // driver corpus has ≤ 31 distinct words per source, so capacity 64
+    // runs the sketch in its EXACT regime (no counter ever evicted) and
+    // the oracle is the plain per-(source, term) count; the approximate
+    // regime's N/(capacity+1) bound is pinned by HeavyHittersSpec.
+    "q_heavy_terms" -> ((s, dir) =>
+      graft.ops.HeavyHitters.terms(docs(s, dir), "source", "text",
+                                   capacity = 64)),
     // PII scrub over the deterministically PII-augmented corpus (see
     // [[piiDocs]]): regex-class redaction with per-class counts — one
     // codegen'd corpus map, no UDFs, no shuffle. The oracle CONSTRUCTS
@@ -919,6 +930,33 @@ object SparkEntry {
     // philosophy): per-class total matches + documents touched
     "q_redact_counts" -> ((s, dir) =>
       Redaction.classCounts(Redaction.scrub(piiDocs(s, dir)))),
+    // the SAME scrub relation running unchanged on the actual micro-batch
+    // path (unified batch/stream API — the firehose-scrub deployment):
+    // stateless column expressions → rows emit in their arrival batch, no
+    // watermark, no sentinels. Oracle = q_doc_redact's construct-based
+    // oracle restricted to the fed ids.
+    "q_stream_redact" -> ((s, dir) => {
+      import s.implicits._
+      val rows = piiDocs(s, dir).where(col("doc_id") < 200)
+        .as[(Long, String)].collect().sortBy(_._1)
+      if (rows.isEmpty) Redaction.scrub(piiDocs(s, dir)).limit(0)
+      else {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ms = MemoryStream[(Long, String)](
+          org.apache.spark.sql.Encoders.product[(Long, String)],
+          s.sqlContext)
+        val name = s"q_stream_redact_${System.nanoTime()}"
+        val q = Redaction.scrub(ms.toDF().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+        s.table(name)
+      }
+    }),
     // --- post-hash pipelines under the driver oracle (round-5): the
     // xxhash64 signature stage of each query is materialized ONCE per
     // (session, sf) to the deterministic [[graft.ops.OracleSig]] path and
@@ -2152,6 +2190,13 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
         |           ORDER BY n_occ DESC, ngram) AS INTEGER) AS rank
         |  FROM c) WHERE rank <= 5""".stripMargin,
+    // heavy hitters in the exact regime (distinct ≤ capacity): the MG
+    // sketch must equal the plain count
+    "q_heavy_terms" ->
+      """SELECT source, w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     // PII redaction: the oracle does NOT run a regex — it reconstructs
     // the expected redacted text and per-class counts directly from the
     // deterministic doc_id-arithmetic plants ([[piiDocs]]), so the
@@ -2178,6 +2223,26 @@ object SparkEntry {
         |          + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
         |          + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_pii
         |FROM documents""".stripMargin,
+    "q_stream_redact" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 2 THEN 'call <PHONE> ' ELSE '' END
+        |         || text
+        |         || CASE WHEN doc_id % 3 = 0 THEN ' reach <EMAIL>'
+        |              || CASE WHEN doc_id % 9 = 0 THEN ' and <EMAIL>' ELSE '' END
+        |            ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 1 THEN ' ssn <SSN>' ELSE '' END
+        |         AS redacted,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |              CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END
+        |            ELSE 0 END AS INTEGER) AS n_email,
+        |       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER) AS n_ssn,
+        |       CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_phone,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |              CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END
+        |            ELSE 0 END
+        |          + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_pii
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "q_redact_counts" ->
       """WITH n AS (
         |  SELECT CASE WHEN doc_id % 3 = 0 THEN

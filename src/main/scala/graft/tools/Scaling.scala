@@ -29,7 +29,9 @@ object Scaling {
     val rocks = sys.env.getOrElse("SPARK_GRAFT_ROCKSDB", "false").toBoolean
     val jobs = sys.env.getOrElse("SPARK_GRAFT_JOBS", "ingest,session,analytics,csr")
       .split(",").toSet
-    val inputDir = "/tmp/graft_scale/turns"
+    // SPARK_GRAFT_INPUT points A/B runs at alternative pre-generated
+    // volumes (e.g. the 4× input that amortizes the per-run fixed floor)
+    val inputDir = sys.env.getOrElse("SPARK_GRAFT_INPUT", "/tmp/graft_scale/turns")
     val workDir = Files.createTempDirectory("graft_scaling").toString
 
     val spark = SparkSession.builder()
