@@ -61,6 +61,26 @@ object SparkEntry {
         .as("text"))
   }
 
+  /** The documents corpus deterministically re-segmented into newline
+    * lines of 8 tokens (the sandbox corpus is single-space prose with no
+    * newlines — same construct-the-fixture-in-the-query approach as
+    * [[piiDocs]]): gives [[graft.text.Dedup.lineDedup]] a real
+    * multi-line corpus whose cross-document duplicate lines arise
+    * naturally from the small vocabulary, while the oracle reconstructs
+    * identical lines from the raw text with list slicing. The token
+    * array is materialized as a column BEFORE the transform lambda (the
+    * documented HOF capture trap re-evaluates a captured computed array
+    * per element).
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), expr("(size(tk) + 7) div 8 - 1")),
+            g => concat_ws(" ", slice(col("tk"), g * 8 + 1, lit(8)))),
+          "\n").as("text"))
+
   /** Flagship query: conversation-graph stats (Q1) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     qStats(spark, "/root/testdata/sf0.001")
@@ -920,6 +940,19 @@ object SparkEntry {
     "q_heavy_terms" -> ((s, dir) =>
       graft.ops.HeavyHitters.terms(docs(s, dir), "source", "text",
                                    capacity = 64)),
+    // C4-style line-level dedup over the deterministically line-segmented
+    // corpus (see [[linedDocs]]): first corpus-order occurrence of each
+    // distinct line survives, documents reassemble from their survivors.
+    // Skew-safe shape: min(struct) group-by on the line digest (map-side
+    // combinable), NOT the row_number window the oracle uses.
+    "q_line_dedup" -> ((s, dir) => Dedup.lineDedup(linedDocs(s, dir))),
+    // token-budget corpus selection: keep the stopword-ppm-best documents
+    // until 2/5 of the corpus's tokens are spent — the global quality
+    // ordering runs as a banded TWO-PHASE prefix sum (same machinery
+    // class as q_pack_offsets; the corpus-sized relation never does a
+    // global sort, and the corpus total falls out of the band totals)
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(docs(s, dir), budgetNum = 2, budgetDen = 5)),
     // PII scrub over the deterministically PII-augmented corpus (see
     // [[piiDocs]]): regex-class redaction with per-class counts — one
     // codegen'd corpus map, no UDFs, no shuffle. The oracle CONSTRUCTS
@@ -2197,6 +2230,56 @@ object SparkEntry {
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
         |      FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    // line dedup: the oracle re-derives the 8-token line segmentation
+    // straight from the raw text with list slicing (no newline fixture
+    // materialized anywhere), then takes first occurrence per distinct
+    // line with the row_number window — semantically identical to the
+    // engine's skew-safe min(struct) group-by
+    "q_line_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |lines AS (
+        |  SELECT doc_id, g AS line_idx,
+        |         array_to_string(t[g*8+1 : g*8+8], ' ') AS line
+        |  FROM tk, unnest(range(CAST((len(t)+7)//8 AS BIGINT))) AS u(g)),
+        |flagged AS (
+        |  SELECT doc_id, line_idx, line,
+        |         row_number() OVER (PARTITION BY md5(line)
+        |                            ORDER BY doc_id, line_idx) = 1 AS keep
+        |  FROM lines)
+        |SELECT doc_id,
+        |       CAST(count(*) AS INTEGER) AS n_lines,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER)
+        |         AS kept_lines,
+        |       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |                           ORDER BY line_idx), '') AS text
+        |FROM flagged
+        |GROUP BY doc_id""".stripMargin,
+    // token-budget selection: DuckDB runs the NAIVE global-window form of
+    // the same prefix sum (fine at oracle scale; the engine's banded
+    // two-phase form must produce identical integers)
+    "q_token_budget" ->
+      """WITH s2 AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |           AS n_tokens,
+        |         (CAST(len(regexp_extract_all(lower(text),
+        |            '\b(the|a|an|and|of|to|in|is|it|that|for|on|with|as)\b'))
+        |            AS BIGINT) * 1000000)
+        |           // greatest(CAST(len(regexp_extract_all(text, '\S+'))
+        |                           AS BIGINT), 1) AS score_ppm
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, score_ppm, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |           ORDER BY score_ppm DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM s2)
+        |SELECT doc_id, score_ppm, n_tokens, cum_before,
+        |       cum_before < (SELECT (SUM(n_tokens) * 2) // 5 FROM s2)
+        |         AS selected
+        |FROM c""".stripMargin,
     // PII redaction: the oracle does NOT run a regex — it reconstructs
     // the expected redacted text and per-class counts directly from the
     // deterministic doc_id-arithmetic plants ([[piiDocs]]), so the

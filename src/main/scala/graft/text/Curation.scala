@@ -234,4 +234,70 @@ object Curation {
               col("epochs").cast("int").as("epochs"),
               (col("epochs") * col("n_tokens")).cast("long").as("weighted_tokens"))
   }
+
+  /** Token-budget corpus selection: rank documents by an integer quality
+    * score (stopword-density ppm — `n_stopwords·10⁶ div n_tokens`, ties
+    * broken by ascending id) and greedily keep documents from the top
+    * until the cumulative token count reaches `budgetNum/budgetDen` of
+    * the corpus total — the "select the best N-token subset" pass that
+    * sits between quality scoring and tokenization in a pretraining
+    * pipeline (quality-ranked data selection, the DataComp/DoReMi-style
+    * fixed-token-budget regime).
+    *
+    * Output, one row per document: (idCol, score_ppm, n_tokens,
+    * cum_before, selected) where `cum_before` is the token count of all
+    * strictly-better-ranked documents and `selected = cum_before <
+    * budget` (so the document straddling the budget boundary is kept —
+    * the greedy convention, matching the oracle's window inequality).
+    *
+    * Scale shape: the global quality ordering is the same problem as
+    * [[Packing.packOffsets]]'s global token offset, and gets the same
+    * TWO-PHASE prefix sum — documents are banded by `score_ppm div
+    * bandWidth`, the corpus-sized relation only does a band-partitioned
+    * window, and the cross-band cumulation runs on the one-row-per-band
+    * relation (≤ 10⁶/bandWidth + 1 rows at ANY corpus size) before
+    * broadcasting back. The corpus total (for the fractional budget)
+    * falls out of the band totals for free — no second corpus pass. A
+    * score distribution concentrated in one band degrades the intra-band
+    * window to a near-global sort; bandWidth is a tuning knob against
+    * the observed score histogram (50 000 ⇒ ≤ 21 bands of stopword ppm).
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetNum: Long, budgetDen: Long,
+                        bandWidth: Long = 50000L, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budgetDen >= 1 && budgetNum >= 0,
+      s"budget fraction must be >= 0, got $budgetNum/$budgetDen")
+    require(bandWidth >= 1, s"band width must be >= 1, got $bandWidth")
+    val t = col(textCol)
+    val scored = docs.select(
+        col(idCol),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordCount(t).cast("long").as("n_stop"))
+      .withColumn("score_ppm",
+        expr("(n_stop * 1000000) div greatest(n_tokens, 1)"))
+      .withColumn("band", expr(s"score_ppm div $bandWidth"))
+    // phase 1: prefix sum WITHIN each score band, best-first
+    val intra = Window.partitionBy("band")
+      .orderBy(col("score_ppm").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 2: cross-band cumulation + corpus total on the band relation
+    val bandTotals = scored.groupBy("band")
+      .agg(sum("n_tokens").as("band_total"))
+      .withColumn("band_offset",
+        coalesce(sum("band_total").over(
+          Window.orderBy(col("band").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total_tokens",
+        sum("band_total").over(Window.partitionBy(lit(1))))
+      .select(col("band"), col("band_offset"), col("total_tokens"))
+    scored
+      .withColumn("intra", coalesce(sum("n_tokens").over(intra), lit(0L)))
+      .join(broadcast(bandTotals), "band")
+      .select(col(idCol),
+        col("score_ppm"),
+        col("n_tokens"),
+        (col("band_offset") + col("intra")).as("cum_before"),
+        (col("band_offset") + col("intra") <
+          expr(s"(total_tokens * $budgetNum) div $budgetDen")).as("selected"))
+  }
 }

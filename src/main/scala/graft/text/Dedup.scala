@@ -470,6 +470,53 @@ object Dedup {
     * are all signature-value algebra — SQL-oracle-checkable over the
     * written parquet ([[graft.ops.OracleSig]]).
     */
+  /** C4-style line-level deduplication: split every document into lines
+    * on `delim`, keep only the FIRST corpus-order occurrence (lowest
+    * (id, line_idx)) of each distinct line, and reassemble — the
+    * boilerplate-removal pass (repeated headers/footers/navigation
+    * chrome) that runs at line granularity where [[exact]] runs at
+    * document granularity. Output, one row per input document:
+    * (idCol, n_lines, kept_lines, text) with `text` the surviving lines
+    * re-joined by `delim` ('' when every line was seen earlier).
+    *
+    * Scale shape: two shuffles on the exploded line relation. The
+    * first-occurrence computation is a `min(struct(id, line_idx))`
+    * GROUP BY on the md5 line digest — map-side combinable, so the
+    * boilerplate line that appears 10⁹ times collapses to one row per
+    * map partition BEFORE the shuffle (the row_number()-window
+    * formulation the oracle uses would funnel every copy of a hot line
+    * through one task's sort — correct, but a skew bomb at corpus
+    * scale); the verdict join back is digest-keyed equi-join (AQE
+    * splits any residual hot digest). Reassembly is one id-keyed
+    * shuffle of the kept lines (`array_sort(collect_list(struct))` —
+    * per-doc line counts are bounded by document length).
+    */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", delim: String = "\n")
+      : DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("line_idx", "line")))
+      .withColumn("lk", md5(col("line")))
+    val first = lines.groupBy("lk")
+      .agg(min(struct(col(idCol), col("line_idx"))).as("first_occ"))
+    lines.join(first, "lk")
+      .withColumn("keep",
+        struct(col(idCol), col("line_idx")) === col("first_occ"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("int").as("kept_lines"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(
+                struct(col("line_idx"), col("keep"), col("line")))),
+              x => x.getField("keep")),
+            x => x.getField("line")),
+          delim).as(textCol))
+  }
+
   def simhashNearDupsFrom(sigs: DataFrame, maxHamming: Int = 6,
                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunked = capBuckets(

@@ -162,6 +162,51 @@ class CurationSpec extends SparkSuite {
       s"gram assembly must be row-local (no shuffle/window/sort):\n$plan")
   }
 
+  test("tokenBudgetSelect ranks by score then id and stops at the budget") {
+    // stopword ppm: doc0 "the the the w"  -> 3/4   = 750000
+    //               doc1 "the w w w"      -> 1/4   = 250000
+    //               doc2 "the the w w"    -> 2/4   = 500000
+    //               doc3 "w w w w"        -> 0
+    // total tokens 16; budget 2/5 -> 6 tokens. Rank: 0 (cum 0, keep),
+    // 2 (cum 4, keep), 1 (cum 8, drop), 3 (cum 12, drop).
+    val docs = docsDf(
+      (0L, "the the the w", "en", "s"), (1L, "the w w w", "en", "s"),
+      (2L, "the the w w", "en", "s"), (3L, "w w w w", "en", "s"))
+    val out = Curation.tokenBudgetSelect(docs, 2, 5)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 750000L, 4L, 0L, true),
+      (1L, 250000L, 4L, 8L, false),
+      (2L, 500000L, 4L, 4L, true),
+      (3L, 0L, 4L, 12L, false)))
+  }
+
+  test("tokenBudgetSelect: banded two-phase equals the single-band form") {
+    val docs = docsDf((0L until 60L).map(i =>
+      (i, (Seq.fill((i % 7).toInt)("the") ++
+           Seq.fill(3 + (i % 5).toInt)("w")).mkString(" "), "en", "s")): _*)
+    def run(bw: Long) = Curation.tokenBudgetSelect(docs, 1, 2, bandWidth = bw)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(run(50000L) == run(1000000L))
+    // ties (equal scores) resolve by ascending id: cum_before is strictly
+    // increasing along the (score desc, id) order
+    val ordered = run(50000L).sortBy(r => (-r._2, r._1))
+    assert(ordered.map(_._4) == ordered.scanLeft(0L)(_ + _._3).init)
+  }
+
+  test("tokenBudgetSelect: corpus window is band-partitioned in the plan") {
+    val docs = docsDf((0L until 40L).map(i =>
+      (i, (Seq.fill((i % 4).toInt)("the") ++ Seq.fill(4)("w"))
+        .mkString(" "), "en", "s")): _*)
+    val df = Curation.tokenBudgetSelect(docs, 1, 2, bandWidth = 100000L)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("windowspecdefinition\\(band#\\d+L, score_ppm".r
+        .findFirstIn(finalPlan).isDefined,
+      s"expected a band-partitioned per-doc window:\n$finalPlan")
+  }
+
   test("mixtureEpochs scans the corpus exactly once") {
     val docs = docsDf((0L until 8L).map(i =>
       (i, Seq.fill(5)("w").mkString(" "), "en", s"s${i % 3}")): _*)
