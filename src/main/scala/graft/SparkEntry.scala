@@ -517,6 +517,31 @@ object SparkEntry {
                   col("tool"), col("n_turns"), col("n_convs"))
       }
     }),
+    // Misra-Gries ON THE STREAM: per-hour heavy-hitter terms where the
+    // sketch buffer is the streaming aggregation state (window state is
+    // O(capacity) at ANY vocabulary — the firehose "trending tokens"
+    // shape); partial sketches merge across micro-batches under the same
+    // mergeable-summaries bound as the batch map-side combine. The feed's
+    // ≤7 distinct terms/window keep capacity 16 in the exact regime, so
+    // the plain per-(window, term) count is the oracle.
+    "q_stream_heavy" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        T(s, dir).select(
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
+          lit("").as("term"), lit(0L).as("cnt")).limit(0)
+      else {
+        val maxRealTs = new java.sql.Timestamp(rows.last.ts.getTime)
+        runStream(s, rows, "q_stream_heavy", nSentinels = 3,
+                  dropSentinelRows =
+                    _.where(col("window_start") <= lit(maxRealTs))) { src =>
+          graft.ops.HeavyHitters.windowedTerms(src, watermark = "10 minutes",
+                                               width = "1 hour")
+        }
+          .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+                  col("term"), col("cnt"))
+      }
+    }),
     "q_turn_rate" -> ((s, dir) => Rates.tumblingPerTool(T(s, dir), "1 hour")),
     "q_role_cube" -> ((s, dir) => Rates.roleToolCube(T(s, dir))),
     "q_pairing" -> ((s, dir) => Pairing.userAssistant(T(s, dir))),
@@ -1713,6 +1738,12 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS window_start, tool,
          |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
          |FROM turns $streamFeedWhere GROUP BY 1, 2""".stripMargin),
+    "q_stream_heavy" -> tsql(
+      s"""SELECT date_trunc('hour', ts) AS window_start, word AS term,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM (SELECT ts, unnest(string_split(text, ' ')) AS word
+         |      FROM turns $streamFeedWhere)
+         |GROUP BY 1, 2""".stripMargin),
     "q_turn_rate" -> tsql(
       """SELECT date_trunc('hour', ts) AS window_start, tool,
         |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs

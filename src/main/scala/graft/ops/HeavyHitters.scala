@@ -97,4 +97,30 @@ object HeavyHitters {
       .select(col("g").as(groupCol), explode(col("hits")).as("h"))
       .select(col(groupCol), col("h.item").as("term"), col("h.cnt").as("cnt"))
   }
+
+  /** The STREAMING form: heavy-hitter terms per event-time tumbling
+    * window over a watermarked turn stream — "trending tokens per hour"
+    * with per-window state bounded at `capacity` counters regardless of
+    * vocabulary (the plain streaming count keys state by distinct term;
+    * this sketch makes window state O(capacity) at firehose scale). The
+    * sketch buffer IS the streaming aggregation state: partial MG
+    * sketches merge across micro-batches exactly like map-side partials
+    * merge in the batch form (same mergeable-summaries bound), windows
+    * finalize on watermark in append mode and never re-emit. Output:
+    * (window_start, term, cnt) — exact when a window's distinct term
+    * count stays ≤ capacity (the driver-oracle regime).
+    */
+  def windowedTerms(src: DataFrame, watermark: String, width: String,
+                    capacity: Int = 16): DataFrame = {
+    val mg = udaf(new MisraGries(capacity),
+                  org.apache.spark.sql.Encoders.STRING)
+    src.withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("item"))
+      .groupBy(window(col("ts"), width))
+      .agg(mg(col("item")).as("hits"))
+      .select(col("window.start").as("window_start"),
+              explode(col("hits")).as("h"))
+      .select(col("window_start"), col("h.item").as("term"),
+              col("h.cnt").as("cnt"))
+  }
 }

@@ -47,6 +47,33 @@ class HeavyHittersSpec extends SparkSuite {
     assert(out.length <= 16)
   }
 
+  test("streaming windowed sketch merges state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(String, java.sql.Timestamp)](
+      org.apache.spark.sql.Encoders.product[(String, java.sql.Timestamp)],
+      spark.sqlContext)
+    val name = s"hh_stream_${System.nanoTime()}"
+    val q = HeavyHitters.windowedTerms(
+        ms.toDF().toDF("text", "ts"), watermark = "0 seconds",
+        width = "1 hour", capacity = 8)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    try {
+      // the 10:00 window's counts only come out right if batch 2's
+      // partial sketch merges into batch 1's persisted window state
+      ms.addData(("a b a", at(1)), ("b c", at(2))); q.processAllAvailable()
+      ms.addData(("a c c", at(3))); q.processAllAvailable()
+      ms.addData(("z", at(200))); q.processAllAvailable() // close the window
+    } finally q.stop()
+    val out = spark.table(name)
+      .where(col("window_start") === lit(t0))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSet
+    assert(out == Set(("a", 3L), ("b", 2L), ("c", 3L)))
+  }
+
   test("merge keeps the undercount-only invariant") {
     val mg = new MisraGries(2)
     val a = Seq("x", "x", "x", "y", "z", "z").foldLeft(mg.zero)(mg.reduce)
