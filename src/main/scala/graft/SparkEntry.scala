@@ -1135,6 +1135,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))
     }),
 
+    // SemDeDup (cluster-scoped semantic dedup): k-means assignment
+    // materialized once per corpus snapshot (the same index-artifact
+    // discipline as the MinHash/LSH signature tables), pairs confined
+    // within clusters, verdict = round-3 cosine to a lower-id cluster
+    // mate — the oracle recomputes pairs, cosines, and keeper choice from
+    // the materialized assignment + the embeddings table
+    "q_sem_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val assign = graft.ops.OracleSig.materialize(s, dir, "sem_assign",
+          graft.ops.OracleSig.embFp(emb(s, dir))) {
+        val cents = Ivf.trainCentroids(e, nClusters = 8, iters = 2,
+                                       sampleFactor = 25)
+        Ivf.assign(e.select(col("vec_id").as("id"),
+                            col("embedding").as("v")), cents)
+      }
+      Dedup.semanticDedupFromAssign(e, assign, threshold = 0.3)
+    }),
+
     // --- similarity search: embeddings ---
     // self-kNN-graph construction (every vector is a query) — the
     // realistic ANN workload; rank on round(sim, 6) with id tie-break so
@@ -2677,6 +2695,29 @@ object SparkEntry {
          |SELECT id_a, id_b, round(cosine, 3) AS cos3
          |FROM v WHERE cosine >= -1.0
          |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_sem_dedup" ->
+      s"""WITH a AS (SELECT id, cluster_id
+         |           FROM read_parquet('${sigGlob("sem_assign")}')
+         |           WHERE corpus_fp = $embFpSql),
+         |capped AS (SELECT id, cluster_id FROM a
+         |           QUALIFY COUNT(*) OVER (PARTITION BY cluster_id)
+         |                   <= ${Dedup.DefaultMaxBucket}),
+         |p AS (SELECT x.id AS id_a, y.id AS id_b
+         |      FROM capped x JOIN capped y
+         |        ON x.cluster_id = y.cluster_id AND x.id < y.id),
+         |s AS (SELECT id_a, id_b,
+         |        round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+         |          (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+         |          3) AS cos3
+         |      FROM p JOIN embeddings ea ON ea.vec_id = id_a
+         |             JOIN embeddings eb ON eb.vec_id = id_b),
+         |d AS (SELECT id_b AS id, CAST(MIN(id_a) AS BIGINT) AS dup_of
+         |      FROM s WHERE cos3 >= 0.3 GROUP BY 1)
+         |SELECT a.id AS vec_id, a.cluster_id,
+         |       COALESCE(d.dup_of, -1) AS dup_of,
+         |       d.dup_of IS NOT NULL AS dropped
+         |FROM a LEFT JOIN d USING (id)""".stripMargin,
     "q_knn_ivf" ->
       s"""WITH cand AS (SELECT query_id, nbr_id
          |              FROM read_parquet('${sigGlob("ivf_cands")}')

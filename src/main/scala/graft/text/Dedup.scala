@@ -421,6 +421,71 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-dedup-within-cluster,
+    * the Abbas et al. 2023 recipe): k-means-cluster the embedding space
+    * — [[graft.sim.Ivf.trainCentroids]]/[[graft.sim.Ivf.assign]] supply
+    * the (id, cluster_id) hard assignment, materialized once per corpus
+    * snapshot like every index artifact here — then mark a vector a
+    * semantic duplicate iff some LOWER-id member of its OWN cluster has
+    * round(cosine, 3) ≥ `threshold` (keep-lowest-id representative: the
+    * canonical greedy variant is removal-order-dependent and therefore
+    * non-relational; this rule is order-free and oracle-exact). The
+    * verdict rounds BEFORE thresholding so the drop decision is a pure
+    * function of the cross-engine-bit-stable cos3.
+    *
+    * Scale shape: the pair problem shrinks from O(n²) to Σ cᵢ² confined
+    * within clusters — `nClusters` is the knob (√n clusters ⇒ expected
+    * cluster size √n ⇒ pair volume ~n^1.5, further bounded by
+    * `maxCluster` with the same counted-cap mechanism as the banding
+    * families — [[oversizeClusters]] is the side output). Over-cap
+    * clusters contribute no pairs (their members all report
+    * dropped=false), never a corpus-sized blowup.
+    *
+    * Output, one row per assigned vector: (idCol, cluster_id, dup_of,
+    * dropped) with dup_of = lowest qualifying same-cluster id, −1 when
+    * none (sentinel, not null — nullable-int columns decay to float in
+    * the compare harness's pandas leg).
+    */
+  def semanticDedupFromAssign(emb: DataFrame, assign: DataFrame,
+                              threshold: Double,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              maxCluster: Int = DefaultMaxBucket)
+      : DataFrame = {
+    import graft.sim.Knn
+    val capped = capBuckets(assign, Seq("cluster_id"), maxCluster)
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+      .withColumn("vn", Knn.norm(col("vv")))
+    val dups = capped.as("a")
+      .join(capped.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .join(v.select(col("vid").as("id_a"), col("vv").as("va"),
+                     col("vn").as("na")), Seq("id_a"))
+      .join(v.select(col("vid").as("id_b"), col("vv").as("vb"),
+                     col("vn").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              round(Knn.dot(col("va"), col("vb")) / (col("na") * col("nb")),
+                    3).as("cos3"))
+      .where(col("cos3") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min("id_a").as("dup_of"))
+    assign.join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster_id"),
+              coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+              col("dup_of").isNotNull.as("dropped"))
+  }
+
+  /** Counted side output for [[semanticDedupFromAssign]]'s cluster cap:
+    * (cluster_id, n) for every cluster whose membership exceeds the cap
+    * and therefore contributed no dedup pairs.
+    */
+  def oversizeClusters(assign: DataFrame,
+                       maxCluster: Int = DefaultMaxBucket): DataFrame =
+    assign.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxCluster)
+
   /** Counted side output: over-cap embedding LSH buckets (see
     * [[minhashOversizeBuckets]]).
     */

@@ -82,6 +82,38 @@ class DedupSpec extends SparkSuite {
     assert(nd.contains((0L, 100L)))
   }
 
+  test("semantic dedup: within-cluster dups drop to the lowest id; cross-cluster dups are out of scope") {
+    // vecs 0,1,2 identical; 7 identical to 0 but assigned to the OTHER
+    // cluster (the documented cluster-scoped miss); 5 orthogonal
+    val u = Seq(1f, 0f, 0f, 0f)
+    val w = Seq(0f, 1f, 0f, 0f)
+    val emb = Seq((0L, u), (1L, u), (2L, u), (5L, w), (7L, u))
+      .toDF("vec_id", "embedding")
+    val assign = Seq((0L, 1), (1L, 1), (2L, 1), (5L, 1), (7L, 2))
+      .toDF("id", "cluster_id")
+    val out = Dedup.semanticDedupFromAssign(emb, assign, threshold = 0.9)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 1, -1L, false),  // cluster representative
+      (1L, 1, 0L, true),
+      (2L, 1, 0L, true),    // dup_of the LOWEST qualifying id, not 1
+      (5L, 1, -1L, false),  // orthogonal survivor
+      (7L, 2, -1L, false))) // identical to 0 but cluster-scoped: kept
+  }
+
+  test("semantic dedup: over-cap clusters contribute no pairs and are counted") {
+    val u = Seq(1f, 0f)
+    val emb = (0L until 6L).map(i => (i, u)).toDF("vec_id", "embedding")
+    val assign = (0L until 6L).map(i => (i, 1)).toDF("id", "cluster_id")
+    val out = Dedup.semanticDedupFromAssign(emb, assign, threshold = 0.9,
+        maxCluster = 5)
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(out.forall(!_._4), "capped cluster must produce no drops")
+    val over = Dedup.oversizeClusters(assign, maxCluster = 5)
+      .as[(Int, Long)].collect()
+    assert(over.toSeq == Seq((1, 6L)))
+  }
+
   test("winnowed fingerprints: shared substring ≥ k+w−1 ⇒ shared fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
