@@ -119,6 +119,64 @@ object DocsBench {
       graft.text.Packing.packOffsets(docs, budget = 2048, bucketSize = 16384)
         .where(col("seq_first") =!= col("seq_last")).count()
     }
+    // round-6 legs. PII scrub over a deterministically PII-augmented
+    // view (every 5th doc gains a phone, every 3rd an email — id
+    // arithmetic, identical bytes per leg)
+    val pii = docs.select(col("doc_id"), concat(
+        when(col("doc_id") % 5 === 2, concat(lit("call "),
+          lpad(pmod(col("doc_id") * 7, lit(1000L)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" "))).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" reach user"),
+          pmod(col("doc_id"), lit(100L)).cast("string"), lit("@mail.com")))
+          .otherwise(lit(""))).as("text"))
+    val (nPii, tScrub) = time {
+      graft.text.Redaction.scrub(pii).agg(sum("n_pii")).collect()(0).getLong(0)
+    }
+    // C4-style line dedup over the 8-token re-segmentation (the small
+    // shared vocabulary makes cross-doc duplicate lines dense — the
+    // boilerplate-heavy regime)
+    val lined = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), array_join(transform(
+        sequence(lit(0), expr("(size(tk) + 7) div 8 - 1")),
+        g => concat_ws(" ", slice(col("tk"), g * 8 + 1, lit(8)))), "\n")
+        .as("text"))
+    val (nLineKept, tLine) = time {
+      graft.text.Dedup.lineDedup(lined)
+        .agg(sum("kept_lines")).collect()(0).getLong(0)
+    }
+    // token-budget selection: 2/5 of the corpus tokens, banded prefix sum
+    val (nSel, tBudget) = time {
+      graft.text.Curation.tokenBudgetSelect(docs, 2, 5)
+        .where(col("selected")).count()
+    }
+    // Misra-Gries heavy hitters per source stratum (exact regime: 50-word
+    // vocabulary ≤ capacity 64)
+    val (nTerms, tHeavy) = time {
+      graft.ops.HeavyHitters.terms(strat, capacity = 64).count()
+    }
+    // SemDeDup: deterministic 16-dim embeddings (every 11th vector an
+    // exact copy of its predecessor — the planted semantic dups), 256
+    // k-means clusters, within-cluster round-3 cosine verdicts
+    val nVec = math.min(n, 100000L)
+    val seedv = when(col("vec_id") % 11 === 0 && col("vec_id") > 0,
+                     col("vec_id") - 1).otherwise(col("vec_id"))
+    val embn = spark.range(nVec).toDF("vec_id").select(col("vec_id"),
+      transform(sequence(lit(1), lit(16)), d =>
+        // the / promotes to double — cast BACK to float (the corpus
+        // contract everywhere is FLOAT[] vectors)
+        (pmod(xxhash64(seedv, d), lit(2000L)).cast("float") / lit(1000f)
+          - lit(1f)).cast("float")).as("embedding"))
+    val (nSemDropped, tSem) = time {
+      val cents = graft.sim.Ivf.trainCentroids(embn, nClusters = 256,
+        iters = 2, sampleFactor = 25)
+      val assign = graft.sim.Ivf.assign(
+        embn.select(col("vec_id").as("id"), col("embedding").as("v")), cents)
+      graft.text.Dedup.semanticDedupFromAssign(embn, assign, threshold = 0.9)
+        .where(col("dropped")).count()
+    }
     val json =
       f"""{"bench":"docs","n":$n,"cpus":$cpus,"dedup_sec":$tDedup%.2f,
          |"dedup_docs_per_sec":${(n / tDedup).toLong},"pairs_sec":$tPairs%.2f,
@@ -132,7 +190,17 @@ object DocsBench {
          |"repetition_sec":$tRep%.2f,"repetition_docs_per_sec":${(n / tRep).toLong},
          |"repetitive_docs":$nRep,
          |"pack_sec":$tPack%.2f,"pack_docs_per_sec":${(n / tPack).toLong},
-         |"straddling_docs":$nStraddle}"""
+         |"straddling_docs":$nStraddle,
+         |"scrub_sec":$tScrub%.2f,"scrub_docs_per_sec":${(n / tScrub).toLong},
+         |"pii_matches":$nPii,
+         |"linededup_sec":$tLine%.2f,"linededup_docs_per_sec":${(n / tLine).toLong},
+         |"kept_lines":$nLineKept,
+         |"budget_sec":$tBudget%.2f,"budget_docs_per_sec":${(n / tBudget).toLong},
+         |"selected_docs":$nSel,
+         |"heavy_sec":$tHeavy%.2f,"heavy_docs_per_sec":${(n / tHeavy).toLong},
+         |"heavy_terms":$nTerms,
+         |"semdedup_sec":$tSem%.2f,"semdedup_vecs_per_sec":${(nVec / tSem).toLong},
+         |"sem_vecs":$nVec,"sem_dropped":$nSemDropped}"""
         .stripMargin.replace("\n", "")
     println(json)
     val out = sys.env.getOrElse("GRAFT_DOCS_OUT", "/tmp/docsbench.json")
