@@ -517,6 +517,34 @@ object SparkEntry {
                   col("tool"), col("n_turns"), col("n_convs"))
       }
     }),
+    // the north rule's "session-window query latency p95" LIVE: per-conv
+    // keyed state emits each assistant reply gap (integer µs), a
+    // re-declared watermark + windowed EXACT percentile finalizes
+    // (p50, p95, max) per (hour, tool) in append mode — chained stateful
+    // ops on the real micro-batch path, heartbeat rows keeping the
+    // watermark moving through reply-free stretches
+    "q_stream_latency" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        T(s, dir).select(
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
+          col("tool"), lit(0L).as("n"), lit(0.0).as("p50_us"),
+          lit(0.0).as("p95_us"), lit(0L).as("max_us")).limit(0)
+      else {
+        val maxRealTs = new java.sql.Timestamp(rows.last.ts.getTime)
+        runStream(s, rows, "q_stream_latency", nSentinels = 3,
+                  dropSentinelRows =
+                    _.where(col("window_start") <= lit(maxRealTs))) { src =>
+          import s.implicits._
+          graft.stream.LatencyStream.windowedReplyLatency(
+            src.as[graft.schema.Turn], watermark = "10 minutes",
+            width = "1 hour")
+        }
+          .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+                  col("tool"), col("n"), col("p50_us"), col("p95_us"),
+                  col("max_us"))
+      }
+    }),
     // Misra-Gries ON THE STREAM: per-hour heavy-hitter terms where the
     // sketch buffer is the streaming aggregation state (window state is
     // O(capacity) at ANY vocabulary — the firehose "trending tokens"
@@ -1756,6 +1784,19 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS window_start, tool,
          |       COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
          |FROM turns $streamFeedWhere GROUP BY 1, 2""".stripMargin),
+    "q_stream_latency" -> tsql(
+      s""", gaps AS (
+         |  SELECT tool, role, ts, date_diff('microsecond',
+         |           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+         |           ts) AS gap_us
+         |  FROM turns $streamFeedWhere
+         |  QUALIFY role = 'assistant' AND gap_us IS NOT NULL)
+         |SELECT date_trunc('hour', ts) AS window_start, tool,
+         |       COUNT(*) AS n,
+         |       quantile_cont(gap_us, 0.5) AS p50_us,
+         |       quantile_cont(gap_us, 0.95) AS p95_us,
+         |       MAX(gap_us) AS max_us
+         |FROM gaps GROUP BY 1, 2""".stripMargin),
     "q_stream_heavy" -> tsql(
       s"""SELECT date_trunc('hour', ts) AS window_start, word AS term,
          |       CAST(COUNT(*) AS BIGINT) AS cnt
