@@ -74,8 +74,13 @@ object DocsBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val path = s"/tmp/graft_docsbench/$n"
+    // 64 files regardless of generating parallelism: an 8-file layout
+    // caps every SCAN-side stage at 8 tasks and silently flattens the
+    // N→4N ratio of map-heavy legs (the round-6 scrub probe's finding —
+    // content is unchanged, hash-repartition on doc_id is deterministic)
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      corpus(spark, n).write.mode("overwrite").parquet(path)
+      corpus(spark, n).repartition(64, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
     val docs = spark.read.parquet(path)
     val (nd, tDedup) = time {
       graft.text.Dedup.exact(docs).where(col("n_docs") > 1).count()

@@ -4,56 +4,43 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main for plan/type/phase inspection (not part of the
-  * API). Currently: IVF phase timing at the bench workload shape.
+  * API). Currently: the redaction-scrub N→4N probe — DocsBench round 6
+  * showed scrub_sec 9.8 (local[8]) → 25.9 (local[32]) on the 1M corpus,
+  * the only leg that REGRESSED with cores; this isolates it (reps ×3,
+  * same augmented view as the DocsBench leg) to split host noise from a
+  * genuine contention effect (regex scrub is allocation-heavy — the
+  * suspect is GC pressure at 32 concurrent string-rewriting tasks on
+  * the shared 4 GiB sbt heap).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("GRAFT_PROBE_CPUS", "8").toInt
+    val n = sys.env.getOrElse("GRAFT_DOCS_N", "1000000").toLong
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    e.count() // warm scan
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    def mat(label: String)(df: org.apache.spark.sql.DataFrame): Unit =
-      time(label) {
-        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(sum(col("h").cast("double"))).collect()
-      }
-    // candidate volume per param set: how much of the corpus does a
-    // nprobe probe actually rerank?
-    for ((nc, np, sf0) <- Seq((16, 4, 100), (32, 4, 25), (64, 8, 25))) {
-      val c = graft.sim.Ivf.trainCentroids(e, nClusters = nc, iters = 2,
-                                           sampleFactor = sf0)
-      c.count()
-      val lists = graft.sim.Ivf.invertedLists(e, c)
-      val sizes = lists.groupBy("cluster_id").count()
-        .agg(min("count"), max("count"), avg("count")).collect()(0)
-      println(s"[probe] nc=$nc sizes min=${sizes.get(0)} max=${sizes.get(1)} avg=${sizes.get(2)}")
-      mat(s"ivfTopK full nc=$nc np=$np sf=$sf0")(
-        graft.sim.Ivf.ivfTopK(e, e, 5, nClusters = nc, nprobe = np, iters = 2,
-                              simDecimals = 6, sampleFactor = sf0))
-    }
-    mat("bruteTopK")(graft.sim.Knn.bruteTopK(e, e, 5, simDecimals = 6))
-    // recall at the candidate driver params
-    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "nbr_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = pairs(graft.sim.Knn.bruteTopK(e, e, 5, simDecimals = 6))
-    for ((nc, np, sf0) <- Seq((32, 8, 25), (64, 16, 25), (64, 8, 25))) {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"/tmp/graft_docsbench/$n")
+    docs.count() // warm scan
+    val pii = docs.select(col("doc_id"), concat(
+        when(col("doc_id") % 5 === 2, concat(lit("call "),
+          lpad(pmod(col("doc_id") * 7, lit(1000L)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" "))).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" reach user"),
+          pmod(col("doc_id"), lit(100L)).cast("string"), lit("@mail.com")))
+          .otherwise(lit(""))).as("text"))
+    for (rep <- 1 to 3) {
       val t0 = System.nanoTime()
-      val ivf = pairs(graft.sim.Ivf.ivfTopK(e, e, 5, nClusters = nc,
-        nprobe = np, iters = 2, simDecimals = 6, sampleFactor = sf0))
-      println(f"[probe] recall nc=$nc np=$np sf=$sf0: " +
-        f"${(brute intersect ivf).size.toDouble / brute.size}%.4f " +
-        f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      val s = graft.text.Redaction.scrub(pii)
+        .agg(sum("n_pii")).collect()(0).getLong(0)
+      println(f"[probe] cpus=$cpus rep=$rep scrub=${(System.nanoTime() - t0) / 1e9}%.2f s (n_pii=$s)")
     }
     spark.stop()
   }
