@@ -1180,6 +1180,43 @@ object SparkEntry {
       }
       Dedup.semanticDedupFromAssign(e, assign, threshold = 0.3)
     }),
+    // incremental IVF index maintenance (the ANN analog of
+    // q_stream_neardup): centroids trained once on the BASE snapshot
+    // (vec_id ≥ 200) and materialized; vectors < 200 arrive as two
+    // micro-batches, are hard-assigned against the broadcast centroids
+    // with the deterministic round-6 argmax, and publish replay-
+    // idempotent inverted-list deltas. Oracle: DuckDB recomputes the
+    // argmax from the materialized centroid table + the embeddings view.
+    "q_stream_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = graft.ops.OracleSig.materialize(s, dir, "ivf_cents",
+          graft.ops.OracleSig.embFp(emb(s, dir)))(
+        Ivf.trainCentroids(e.where(col("vec_id") >= 200), nClusters = 8,
+                           iters = 2, sampleFactor = 25))
+      val rows = e.where(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      if (rows.isEmpty)
+        graft.stream.IncrementalIvf.assignRounded(e, cents).limit(0)
+      else {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ms = MemoryStream[(Long, Seq[Float])](
+          org.apache.spark.sql.Encoders.product[(Long, Seq[Float])],
+          s.sqlContext)
+        val root = deleteOnExit(
+          java.nio.file.Files.createTempDirectory("q_stream_ivf"))
+        val q = graft.stream.IncrementalIvf.start(
+          ms.toDF().toDF("vec_id", "embedding"), cents,
+          s"$root/lists", s"$root/ckpt")
+        try {
+          val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+        graft.stream.IncrementalIvf.deltas(s, s"$root/lists")
+      }
+    }),
 
     // --- similarity search: embeddings ---
     // self-kNN-graph construction (every vector is a query) — the
@@ -2736,6 +2773,20 @@ object SparkEntry {
          |SELECT id_a, id_b, round(cosine, 3) AS cos3
          |FROM v WHERE cosine >= -1.0
          |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_stream_ivf" ->
+      s"""WITH c AS (SELECT cluster_id, centroid
+         |           FROM read_parquet('${sigGlob("ivf_cents")}')
+         |           WHERE corpus_fp = $embFpSql),
+         |s AS (SELECT v.vec_id AS id, c.cluster_id,
+         |        round(list_dot_product(v.embedding::DOUBLE[], c.centroid::DOUBLE[]) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]))),
+         |          6) AS sim6
+         |      FROM embeddings v CROSS JOIN c
+         |      WHERE v.vec_id < 200)
+         |SELECT id, cluster_id, sim6 FROM s
+         |QUALIFY row_number() OVER (PARTITION BY id
+         |                           ORDER BY sim6 DESC, cluster_id) = 1""".stripMargin,
     "q_sem_dedup" ->
       s"""WITH a AS (SELECT id, cluster_id
          |           FROM read_parquet('${sigGlob("sem_assign")}')
