@@ -545,6 +545,35 @@ object SparkEntry {
                   col("max_us"))
       }
     }),
+    // ... and the same metric per SESSION WINDOW — the north-rule phrase
+    // verbatim: reply-gap order statistics per session_window × conv over
+    // the gap stream, finalized on watermark. The 8 h inactivity gap is
+    // sized to the corpus (median spacing between reply events ≈ 7.75 h),
+    // so sessions genuinely hold MULTIPLE gaps and the percentile
+    // interpolates — a 30 min gap degenerates to one gap per session;
+    // heartbeats ride under a disjoint conversation key so they advance
+    // the watermark without extending any real session
+    "q_stream_session_latency" -> ((s, dir) => {
+      val rows = streamFeed(s, dir)
+      if (rows.isEmpty)
+        T(s, dir).select(
+          col("conv_id"),
+          col("ts").cast("timestamp_ntz").as("session_start"),
+          col("ts").cast("timestamp_ntz").as("session_end"),
+          lit(0L).as("n"), lit(0.0).as("p50_us"), lit(0.0).as("p95_us"),
+          lit(0L).as("max_us")).limit(0)
+      else
+        runStream(s, rows, "q_stream_session_latency", nSentinels = 3) { src =>
+          import s.implicits._
+          graft.stream.LatencyStream.sessionReplyLatency(
+            src.as[graft.schema.Turn], watermark = "10 minutes",
+            gap = "8 hours")
+        }
+          .select(col("conv_id"),
+                  col("session_start").cast("timestamp_ntz").as("session_start"),
+                  col("session_end").cast("timestamp_ntz").as("session_end"),
+                  col("n"), col("p50_us"), col("p95_us"), col("max_us"))
+    }),
     // Misra-Gries ON THE STREAM: per-hour heavy-hitter terms where the
     // sketch buffer is the streaming aggregation state (window state is
     // O(capacity) at ANY vocabulary — the firehose "trending tokens"
@@ -1834,6 +1863,32 @@ object SparkEntry {
          |       quantile_cont(gap_us, 0.95) AS p95_us,
          |       MAX(gap_us) AS max_us
          |FROM gaps GROUP BY 1, 2""".stripMargin),
+    "q_stream_session_latency" -> tsql(
+      s""", gaps AS (
+         |  SELECT conv_id, ts, role, date_diff('microsecond',
+         |           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+         |           ts) AS gap_us
+         |  FROM turns $streamFeedWhere
+         |  QUALIFY role = 'assistant' AND gap_us IS NOT NULL),
+         |flagged AS (
+         |  SELECT conv_id, ts, gap_us,
+         |         CASE WHEN LAG(ts) OVER w IS NULL
+         |                OR date_diff('microsecond', LAG(ts) OVER w, ts)
+         |                   >= ${28800L * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM gaps
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+         |ns AS (
+         |  SELECT conv_id, ts, gap_us,
+         |         SUM(new_session) OVER (PARTITION BY conv_id ORDER BY ts
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged)
+         |SELECT conv_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |       COUNT(*) AS n,
+         |       quantile_cont(gap_us, 0.5) AS p50_us,
+         |       quantile_cont(gap_us, 0.95) AS p95_us,
+         |       MAX(gap_us) AS max_us
+         |FROM ns GROUP BY conv_id, sid""".stripMargin),
     "q_stream_heavy" -> tsql(
       s"""SELECT date_trunc('hour', ts) AS window_start, word AS term,
          |       CAST(COUNT(*) AS BIGINT) AS cnt

@@ -41,11 +41,20 @@ object LatencyStream {
   /** Last-seen turn per conversation: (turn_idx, event-time micros). */
   final case class LastTurn(idx: Int, tsUs: Long)
 
-  /** One reply gap; `gap_us` = −1 marks a watermark heartbeat. */
-  final case class Gap(tool: Option[String], gap_us: Long, ts: Timestamp)
+  /** One reply gap; `gap_us` = −1 marks a watermark heartbeat (whose
+    * `conv` carries the disjoint [[HeartbeatConvPrefix]] so a
+    * session-keyed aggregation never merges it into a real session).
+    */
+  final case class Gap(conv: String, tool: Option[String], gap_us: Long,
+                       ts: Timestamp)
 
   /** Tool tag carried by heartbeat rows (filtered pre-aggregation). */
   val HeartbeatTool = "zz_hb"
+
+  /** Conversation-key prefix of heartbeat rows — must be disjoint from
+    * every real conversation id.
+    */
+  val HeartbeatConvPrefix = "zz~"
 
   private def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
@@ -63,12 +72,12 @@ object LatencyStream {
       if (tus > maxUs) maxUs = tus
       last.foreach { l =>
         if (t.role == "assistant" && t.turn_idx == l.idx + 1)
-          out += Gap(t.tool, tus - l.tsUs, t.ts)
+          out += Gap(convId, t.tool, tus - l.tsUs, t.ts)
       }
       last = Some(LastTurn(t.turn_idx, tus))
     }
     last.foreach(state.update)
-    out += Gap(Some(HeartbeatTool), -1L,
+    out += Gap(HeartbeatConvPrefix + convId, Some(HeartbeatTool), -1L,
                new Timestamp(maxUs / 1000L))
     out.iterator
   }
@@ -110,6 +119,44 @@ object LatencyStream {
            max(col("gap_us")).as("max_us"))
       .where(col("max_us") >= 0)
       .select(col("w.start").as("window_start"), col("tool"),
+              col("n"), col("p50_us"), col("p95_us"), col("max_us"))
+  }
+
+  /** The north-rule metric VERBATIM — "session-window query latency
+    * p95": reply-gap order statistics per `session_window(ts, gap)` ×
+    * conversation, finalized in append mode when the watermark passes a
+    * session's close. Sessions are segmented over the GAP events (an
+    * assistant reply more than `gap` after the previous reply opens a
+    * new latency session — the [[graft.ops.Sessions]] islands semantics
+    * on the reply stream). Heartbeat rows ride under their disjoint
+    * [[HeartbeatConvPrefix]] conversation key, so they advance the
+    * watermark without ever merging into (or extending) a real session,
+    * and are dropped by the same aggregated-column filter. Output:
+    * (conv_id, session_start, session_end, n, p50_us, p95_us, max_us).
+    */
+  def sessionReplyLatency(turns: Dataset[Turn],
+                          watermark: String = "10 minutes",
+                          gap: String = "30 minutes"): DataFrame = {
+    implicit val stateEnc: org.apache.spark.sql.Encoder[LastTurn] =
+      Encoders.product[LastTurn]
+    implicit val outEnc: org.apache.spark.sql.Encoder[Gap] =
+      Encoders.product[Gap]
+    turns
+      .groupByKey(_.conv_id)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(emitGaps)
+      .toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv").as("conv_id"),
+               session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"),
+           min("ts").as("session_start"),
+           max("ts").as("session_end"),
+           percentile(col("gap_us"), lit(0.5)).as("p50_us"),
+           percentile(col("gap_us"), lit(0.95)).as("p95_us"),
+           max(col("gap_us")).as("max_us"))
+      .where(col("max_us") >= 0)
+      .select(col("conv_id"), col("session_start"), col("session_end"),
               col("n"), col("p50_us"), col("p95_us"), col("max_us"))
   }
 }

@@ -62,6 +62,47 @@ class LatencyStreamSpec extends SparkSuite {
     assert(p95 == 29000000.0, s"p95 was $p95")
   }
 
+  test("session-scoped percentiles segment on reply inactivity, heartbeats never extend a session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[Turn](
+      org.apache.spark.sql.Encoders.product[Turn], spark.sqlContext)
+    val name = s"lat_sess_${System.nanoTime()}"
+    val q = LatencyStream.sessionReplyLatency(
+        ms.toDS(), watermark = "0 seconds", gap = "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // conv F: replies at 10:00:10 (gap 10 s) and 10:05:30 (gap 30 s) —
+      // 5 min apart, SAME session; then a reply at 12:00:40 (gap 40 s) —
+      // 115 min of reply inactivity, NEW session. The idle batch between
+      // them emits only heartbeats, which must not bridge the gap.
+      ms.addData(turn("F", 0, "user", at(0)), turn("F", 1, "assistant", at(10)),
+                 turn("F", 2, "user", at(300)),
+                 turn("F", 3, "assistant", at(330)))
+      q.processAllAvailable()
+      ms.addData(turn("G", 0, "user", at(3000))) // heartbeat-only traffic
+      q.processAllAvailable()
+      ms.addData(turn("F", 4, "user", at(7200)),
+                 turn("F", 5, "assistant", at(7240)))
+      q.processAllAvailable()
+      ms.addData(turn("H", 0, "user", at(4 * 3600)))
+      q.processAllAvailable()
+      ms.addData(turn("H", 1, "user", at(6 * 3600)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name)
+      .where(col("conv_id") === "F")
+      .as[(String, Timestamp, Timestamp, Long, Double, Double, Long)]
+      .collect().sortBy(_._2.getTime)
+    assert(out.length == 2, s"expected 2 sessions, got ${out.toSeq}")
+    val (s1, s2) = (out(0), out(1))
+    // session 1: gaps 10 s and 30 s → n=2, p50 = 20 s (interpolated)
+    assert(s1._4 == 2L && s1._5 == 20000000.0 && s1._7 == 30000000L)
+    assert(s1._2 == at(10) && s1._3 == at(330))
+    // session 2: the single 40 s gap
+    assert(s2._4 == 1L && s2._7 == 40000000L && s2._2 == at(7240))
+  }
+
   test("only consecutive-turn assistant replies count as gaps") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ms = MemoryStream[Turn](
