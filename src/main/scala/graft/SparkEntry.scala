@@ -81,6 +81,31 @@ object SparkEntry {
             g => concat_ws(" ", slice(col("tk"), g * 8 + 1, lit(8)))),
           "\n").as("text"))
 
+  /** The growing-corpus feed for incremental exact dedup (the
+    * [[piiDocs]] construct-the-fixture approach — the raw corpus has no
+    * exact duplicates inside the doc_id < 200 feed): every 7th-residue-3
+    * doc streams a BASE document's text (doc_id + 200 — dropped by the
+    * base-fingerprint anti-join), every second-batch doc with residue
+    * 9 ≡ 7 streams the ORIGINAL text of its first-batch counterpart
+    * (doc_id − 100 — dropped by the within-stream dedup state, and
+    * always CROSS-batch so the survivor is deterministic), the rest
+    * stream their own text.
+    */
+  private def incDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val b = docs(s, dir).select(col("doc_id").as("b_id"),
+                                col("text").as("b_text"))
+    val p = docs(s, dir).select(col("doc_id").as("p_id"),
+                                col("text").as("p_text"))
+    d.join(b, d("doc_id") + 200 === col("b_id"), "left")
+      .join(p, d("doc_id") - 100 === col("p_id"), "left")
+      .select(d("doc_id"),
+        when(d("doc_id") % 7 === 3, col("b_text"))
+          .when(d("doc_id") >= 100 && d("doc_id") % 9 === 7, col("p_text"))
+          .otherwise(d("text")).as("text"))
+  }
+
   /** Flagship query: conversation-graph stats (Q1) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     qStats(spark, "/root/testdata/sf0.001")
@@ -1062,6 +1087,36 @@ object SparkEntry {
           s.sqlContext)
         val name = s"q_stream_redact_${System.nanoTime()}"
         val q = Redaction.scrub(ms.toDF().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+        s.table(name)
+      }
+    }),
+    // incremental EXACT dedup (completing the incremental trio with
+    // q_stream_neardup / q_stream_ivf): the [[incDocs]] growing-corpus
+    // feed streams in two batches; within-stream first-occurrence is
+    // dropDuplicates state, base-known fingerprints drop via the
+    // broadcast stream-static anti-join. Oracle reconstructs the same
+    // feed with id arithmetic and recomputes both drops in SQL.
+    "q_stream_dedup_inc" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).where(col("doc_id") >= 200)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      val rows = incDocs(s, dir).as[(Long, String)].collect().sortBy(_._1)
+      if (rows.isEmpty)
+        base.select(lit(0L).as("doc_id"), col("fp")).limit(0)
+      else {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ms = MemoryStream[(Long, String)](
+          org.apache.spark.sql.Encoders.product[(Long, String)],
+          s.sqlContext)
+        val name = s"q_stream_dedup_inc_${System.nanoTime()}"
+        val q = Dedup.incrementalExact(ms.toDF().toDF("doc_id", "text"), base)
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
@@ -2248,6 +2303,27 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_stream_dedup_inc" ->
+      """WITH src AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 7 = 3 THEN b.text
+        |              WHEN d.doc_id >= 100 AND d.doc_id % 9 = 7 THEN p.text
+        |              ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents b ON b.doc_id = d.doc_id + 200
+        |  LEFT JOIN documents p ON p.doc_id = d.doc_id - 100
+        |  WHERE d.doc_id < 200),
+        |f AS (SELECT doc_id,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |               AS fp
+        |      FROM src),
+        |base AS (SELECT DISTINCT
+        |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |             AS fp
+        |         FROM documents WHERE doc_id >= 200)
+        |SELECT MIN(doc_id) AS doc_id, fp
+        |FROM f WHERE fp NOT IN (SELECT fp FROM base)
+        |GROUP BY fp""".stripMargin,
     "q_doc_quality" ->
       """SELECT doc_id, n_tokens, n_alpha, n_digits, n_punct, n_stopwords,
         |       (n_tokens >= 5 AND n_chars_m <= n_tokens * 20

@@ -24,6 +24,28 @@ object Dedup {
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental EXACT dedup for a growing corpus — the third member of
+    * the incremental family ([[graft.stream.IncrementalNearDup]],
+    * [[graft.stream.IncrementalIvf]]): new documents stream in, each
+    * batch keeps only fingerprints never seen before — neither in the
+    * BASE snapshot's fingerprint set nor earlier in the stream. The
+    * within-stream first-occurrence is streaming `dropDuplicates` state
+    * (O(distinct new fps), the q_stream_dedup machinery); the base
+    * check is a stream-static LEFT ANTI join against the snapshot's
+    * distinct-fingerprint table — BROADCAST explicitly (AQE does not
+    * re-plan micro-batches). At 100 TB the base side is a
+    * fingerprint-only projection of the corpus (32 bytes/doc);
+    * partitioned/bucketed storage makes it a shuffle-free probe.
+    * Output: (idCol, fp) — the accepted-new documents.
+    */
+  def incrementalExact(newDocs: DataFrame, baseFps: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    newDocs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .dropDuplicates("fp")
+      .join(broadcast(baseFps), Seq("fp"), "left_anti")
+
   /** Word shingles (k-grams) of the normalized text; distinct per doc. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")

@@ -82,6 +82,26 @@ class DedupSpec extends SparkSuite {
     assert(nd.contains((0L, 100L)))
   }
 
+  test("incremental exact dedup: base fingerprints and earlier-batch repeats both drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Seq(Tuple1("a")).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val ms = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)],
+      spark.sqlContext)
+    val name = s"inc_exact_${System.nanoTime()}"
+    val q = Dedup.incrementalExact(ms.toDF().toDF("doc_id", "text"), base)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      ms.addData((3L, "b"), (4L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[(String, Long)].collect().map(_._2).toSet
+    // 1 drops against the base snapshot, 3 against batch-1 stream state
+    assert(out == Set(2L, 4L))
+  }
+
   test("semantic dedup: within-cluster dups drop to the lowest id; cross-cluster dups are out of scope") {
     // vecs 0,1,2 identical; 7 identical to 0 but assigned to the OTHER
     // cluster (the documented cluster-scoped miss); 5 orthogonal
