@@ -29,6 +29,55 @@ object Graph {
   private def ckpt(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
 
+  /** Rows-per-shuffle-partition target for the iterative kernels: their
+    * per-round relations (frontier / label tables) are usually far
+    * smaller than the session's batch-analytics parallelism assumes, and
+    * every round re-pays per-task scheduling for each idle partition.
+    */
+  val LoopRowsPerPartition: Long = 65536L
+
+  /** Run an iterative kernel's driver loop with its per-round shuffle
+    * parallelism derived from the MEASURED graph size instead of the
+    * session default (guide §2: scale-adaptive partitioning, not a
+    * constant). In the tiny regime AQE is also disabled for the scope:
+    * each AQE query-stage materialization is a separate job, and a
+    * 3-round loop over a dimension-sized graph was measured at ~39 jobs —
+    * per-round fixed overhead, not compute. Graphs big enough to need ≥
+    * the session parallelism run untouched (AQE coalescing/skew handling
+    * stay in force on the 100-TB path).
+    */
+  private def loopScoped[A](spark: SparkSession, rows: Long)(body: => A): A = {
+    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.min(default.toLong,
+      math.max(1L, (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition))
+      .toInt
+    if (target >= default) body
+    else {
+      val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+      if (target <= 8) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try body finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevP)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+  }
+
+  /** Narrow a small ALREADY-MATERIALIZED cached relation to the loop's
+    * partition target: the per-round joins probe it once per round, and a
+    * cached 32-partition layout of a dimension-sized table costs 32 task
+    * launches per probe. No-op above the target.
+    */
+  private def loopCompact(spark: SparkSession, df: DataFrame,
+                          rows: Long): DataFrame = {
+    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.min(default.toLong,
+      math.max(1L, (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition))
+      .toInt
+    if (target >= default) df else df.coalesce(target)
+  }
+
   /** Undirected view: each edge plus its reverse in one pass (explode —
     * a self-union would recompute the upstream twice), dedup'd.
     */
@@ -90,13 +139,21 @@ object Graph {
     val allStr = nodesStr
       .union(undStr.select(col("src").as("node"))).distinct()
     val nNodes = allStr.count()
+    // undStr is materialized by the count above, so this second count is
+    // a cached-block pass; the loop scope must track edges too (a dense
+    // small-node graph can still carry a large edge set)
+    val nEdges = undStr.count()
+    val loopRows = math.max(nNodes, nEdges)
     if (nNodes <= CcSmallGraphNodes) {
       // SMALL-GRAPH PATH: string labels, per-round broadcast of the
       // node-sized label table (the edge set never re-shuffles). A
       // per-round broadcast of a ~1M-row table was measured to cost more
       // (driver collect + hashmap build each round) than it saves, hence
       // the cap.
-      val r = ccLoop(undStr, allStr, bcastLabels = true, maxIter)
+      val r = loopScoped(spark, loopRows) {
+        ccLoop(loopCompact(spark, undStr, loopRows), allStr,
+               bcastLabels = true, maxIter)
+      }
       undStr.unpersist(blocking = false)
       r
     } else {
@@ -126,8 +183,9 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       und.count()
       undStr.unpersist(blocking = false)
-      try {
-        val labels = ccLoop(und, idMap.select(col("id").as("node")),
+      try loopScoped(spark, loopRows) {
+        val labels = ccLoop(loopCompact(spark, und, loopRows),
+                            idMap.select(col("id").as("node")),
                             bcastLabels = false, maxIter)
         // map internal ids back to node strings and re-derive each
         // component's representative as its minimum node string
@@ -171,14 +229,18 @@ object Graph {
               col("dst") === col("dst_n"))
         .select(col("src").as("node"), col("label"),
                 lit(null).cast(labelType).as("old"))
-      val relaxed = labels
+      val relaxed0 = labels
         .select(col("node"), col("label"), col("label").as("old"))
         .union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"), max("old").as("old"))
-        // materialized once: the pointer-jump below is a self-join, and
-        // without a barrier BOTH sides recompute the edge join + aggregate
-        // (measured ~2× the round cost on a 1M-node graph)
-        .transform(ckpt)
+      // The pointer-jump below is a self-join. On the SHUFFLE path both
+      // sides would recompute the edge join + aggregate without a barrier
+      // (measured ~2× the round cost on a 1M-node graph) — materialize
+      // once. On the BROADCAST path the build side shares the probe
+      // side's shuffle via ReuseExchange (only the final tiny aggregate
+      // re-runs), so the extra per-round checkpoint job is pure fixed
+      // overhead — skip it.
+      val relaxed = if (bcastLabels) relaxed0 else relaxed0.transform(ckpt)
       // step 2: pointer jumping — adopt the label of one's label node
       // (path compression): turns O(diameter) convergence into
       // O(log diameter), which long chain graphs require
@@ -234,10 +296,13 @@ object Graph {
     // shuffles ONLY the frontier (the cached relation's hash partitioning
     // satisfies the join's distribution requirement) — re-shuffling the
     // full edge set per round was the dominant per-round cost
-    val adj = (if (directed) edges.select("src", "dst") else undirected(edges))
+    val adjFull = (if (directed) edges.select("src", "dst") else undirected(edges))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
+    val nAdj = adjFull.count()
+    val spark = edges.sparkSession
+    loopScoped(spark, nAdj) {
+    val adj = loopCompact(spark, adjFull, nAdj)
     var dist = seeds.select(col("tag"), col("node"), lit(0L).as("dist"))
       .distinct().transform(ckpt)
     def hitStop(frontierDf: DataFrame): Boolean = stopSet.exists(s =>
@@ -306,7 +371,7 @@ object Graph {
       done = hitStop(frontier)
       iter += 1
     }
-    adj.unpersist(blocking = false)
+    adjFull.unpersist(blocking = false)
     // silent truncation would be indistinguishable from NoPath (absent
     // row) — the reference's Dijkstra is exact, so surface it instead
     if (!done && frontierSize > 0)
@@ -314,6 +379,7 @@ object Graph {
         s"multiSourceBfs frontier still non-empty after $maxIter rounds " +
         s"($frontierSize nodes); raise maxIter")
     dist
+    }
   }
 
   /** Shortest distance between two node MULTISETS (Q3,
@@ -376,12 +442,15 @@ object Graph {
                               stopSet: Option[DataFrame] = None): DataFrame = {
     val w = coalesce(col("weight").cast("double"), lit(1.0)).as("w")
     val adjBase = edges.select(col("src"), col("dst"), w)
-    val adj = (if (directed) adjBase
+    val adjFull = (if (directed) adjBase
                else adjBase.union(
                  edges.select(col("dst").as("src"), col("src").as("dst"), w)))
       .repartition(col("src")) // see multiSourceBfsUntil: frontier-only shuffles
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
+    val nAdj = adjFull.count()
+    val spark = edges.sparkSession
+    loopScoped(spark, nAdj) {
+    val adj = loopCompact(spark, adjFull, nAdj)
     // INCREMENTAL state: `dist` is a lazy union of checkpointed
     // improvement deltas — later deltas strictly beat earlier entries for
     // the same (tag, node), so the current best is min-over-union and the
@@ -437,12 +506,13 @@ object Graph {
       iter += 1
       done = frontierSize > 0 && settled()
     }
-    adj.unpersist(blocking = false)
+    adjFull.unpersist(blocking = false)
     if (!done && frontierSize > 0)
       throw new IllegalStateException(
         s"weightedMultiSourceDist still improving after $maxIter rounds " +
         s"($frontierSize labels); raise maxIter")
     bestDist()
+    }
   }
 
   /** All-pairs group distance matrix (Q4, analysis.py:180-272): one

@@ -205,7 +205,7 @@ object Ivf {
 
   /** IVF approximate top-k against a PRE-TRAINED centroid table: probe
     * the `nprobe` nearest inverted lists per query, exact cosine rerank
-    * within them via the map-side-combinable [[graft.ops.TopKByScore]]
+    * within them via the map-side-combinable [[graft.functions.TopKByScoreAgg]]
     * (only keys×k rows cross the final shuffle). `centroids` comes from
     * [[trainCentroids]] — an already-materialized (localCheckpoint'd)
     * nClusters-row table, so no extra persist is taken here.
@@ -280,15 +280,13 @@ object Ivf {
       .select("query_id", "nbr_id")
   }
 
-  /** Exact cosine + map-side-combinable top-k ([[graft.ops.TopKByScore]])
+  /** Exact cosine + map-side-combinable top-k ([[graft.functions.TopKByScoreAgg]])
     * over candidate (query_id, nbr_id) pairs — the IVF search tail.
     */
   def rerankTopK(corpus: DataFrame, queries: DataFrame, cands: DataFrame,
                  k: Int, idCol: String = "vec_id",
                  vecCol: String = "embedding",
                  simDecimals: Int = -1): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(vec_dot(col("q_vec"), col("q_vec"))))
     val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
@@ -301,12 +299,6 @@ object Ivf {
       .join(qv, Seq("query_id"))
       .select(col("query_id"), col("nbr_id"), sim)
       .select(col("query_id"), col("nbr_id"), rankKey.as("key"), col("sim"))
-      .as[graft.ops.ScoredRow]
-    scored.groupByKey(_.query_id)
-      .agg(new graft.ops.TopKByScore(k).toColumn.name("top"))
-      .select(col("key").as("query_id"),
-              posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.nbr_id").as("nbr_id"),
-              col("e.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+    graft.sim.Knn.topKExplode(scored, k)
   }
 }

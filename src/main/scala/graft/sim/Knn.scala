@@ -32,8 +32,6 @@ object Knn {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 simDecimals: Int = -1): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", norm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -45,15 +43,34 @@ object Knn {
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"), sim)
       .select(col("query_id"), col("nbr_id"), rankKey.as("key"), col("sim"))
-      .as[graft.ops.ScoredRow]
-    // map-side-combinable top-k (graft.ops.TopKByScore): each partition
-    // is pruned to k rows per query BEFORE the shuffle — a window over
-    // the raw pair set would shuffle O(|q|·|corpus|) rows instead.
-    // Identical results to row_number over (key desc, nbr_id asc).
-    scored.groupByKey(_.query_id)
-      .agg(new graft.ops.TopKByScore(k).toColumn.name("top"))
-      .select(col("key").as("query_id"),
-              posexplode(col("top")).as(Seq("pos", "e")))
+    topKExplode(scored, k)
+  }
+
+  /** Map-side-combinable top-k over a scored (query_id, nbr_id, key, sim)
+    * pair relation: each partition is pruned to k rows per query BEFORE
+    * the shuffle ([[graft.functions.TopKByScoreAgg]] — the InternalRow
+    * imperative twin of the typed TopKByScore Aggregator, whose per-row
+    * encoder round-trip dominated the all-pairs stage) — a window over
+    * the raw pair set would shuffle O(|q|·|corpus|) rows instead.
+    * Identical results to row_number over (key desc, nbr_id asc).
+    */
+  private[graft] def topKExplode(scored: DataFrame, k: Int): DataFrame = {
+    // ObjectHashAggregate abandons hash mode after
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold distinct
+    // groups per task (default 128) and SORTS the remaining input — tuned
+    // for unbounded buffers (collect_list). This aggregate's buffer is
+    // bounded at k entries (k × 24 B), so thousands of in-memory groups
+    // per task cost ≤ ~1 MB at any scale; with corpus-as-queries there
+    // are always ≫ 128 query groups per task and the fallback would sort
+    // the full O(pairs) stream. 4096 groups ≈ 0.5 MB of buffers at k=5 —
+    // a per-task memory bound, not a local-mode tune (measured: −0.7 s on
+    // the sf0.1 all-pairs stage).
+    scored.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k_by_score(
+        col("key"), col("nbr_id"), col("sim"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), col("e.nbr_id").as("nbr_id"),
               col("e.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
   }
