@@ -806,7 +806,7 @@ object SparkEntry {
     // totals directly from turns, so any parse-layer regression breaks
     // the hash match.
     "q_gfa_stats" -> ((s, dir) => {
-      val t = T(s, dir)
+      val t = graft.ops.Scans.wide(T(s, dir))
       // a tab/newline inside text would shift the rendered S-record fields
       // and silently truncate the re-parsed sequence — surface it as an
       // error instead of an unexplained oracle hash mismatch
@@ -882,7 +882,7 @@ object SparkEntry {
     // records carrying an LN:i tag — the oracle recomputes both sums
     // (tag map stores "TYPE:VALUE", so its byte length is 2 + digits).
     "q_gfa_bytes" -> ((s, dir) => {
-      val t = T(s, dir)
+      val t = graft.ops.Scans.wide(T(s, dir))
       val segLines = t.select(concat_ws("\t", lit("S"),
           TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"),
           concat(lit("LN:i:"), length(col("text")).cast("string")))
@@ -985,10 +985,10 @@ object SparkEntry {
 
     // --- training-data pipeline: documents ---
     "q_doc_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
-    "q_doc_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))
+    "q_doc_quality" -> ((s, dir) => TextAnalysis.quality(graft.ops.Scans.wide(docs(s, dir)))
       .select("doc_id", "n_tokens", "n_alpha", "n_digits", "n_punct",
               "n_stopwords", "is_quality")),
-    "q_doc_lang" -> ((s, dir) => docs(s, dir)
+    "q_doc_lang" -> ((s, dir) => graft.ops.Scans.wide(docs(s, dir))
       .select(col("doc_id"), col("lang"),
               TextAnalysis.langPrediction(col("text")).as("pred_lang"))),
     // token counting: whitespace + BPE-ish subword-boundary split
@@ -1002,7 +1002,7 @@ object SparkEntry {
     // counts (broadcast bench-gram join — see [[Curation.decontaminate]])
     "q_decontam" -> ((s, dir) => {
       val d = docs(s, dir)
-      Curation.decontaminate(d.where(col("doc_id") % 10 =!= 7),
+      Curation.decontaminate(graft.ops.Scans.wide(d.where(col("doc_id") % 10 =!= 7)),
                              d.where(col("doc_id") % 10 === 7), n = 8)
     }),
     // exactly-stratified deterministic train/val split (10% val per
@@ -1065,11 +1065,11 @@ object SparkEntry {
     // codegen'd corpus map, no UDFs, no shuffle. The oracle CONSTRUCTS
     // the expected redacted text from the plants, so an over- or
     // under-matching regex breaks the hash.
-    "q_doc_redact" -> ((s, dir) => Redaction.scrub(piiDocs(s, dir))),
+    "q_doc_redact" -> ((s, dir) => Redaction.scrub(graft.ops.Scans.wide(piiDocs(s, dir)))),
     // ... and the scrub's counted side output (the skip-and-warn reject
     // philosophy): per-class total matches + documents touched
     "q_redact_counts" -> ((s, dir) =>
-      Redaction.classCounts(Redaction.scrub(piiDocs(s, dir)))),
+      Redaction.classCounts(Redaction.scrub(graft.ops.Scans.wide(piiDocs(s, dir))))),
     // the SAME scrub relation running unchanged on the actual micro-batch
     // path (unified batch/stream API — the firehose-scrub deployment):
     // stateless column expressions → rows emit in their arrival batch, no
@@ -1121,6 +1121,16 @@ object SparkEntry {
           .outputMode("append").start()
         try {
           val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+          // incrementalExact's within-batch survivor is arbitrary (see
+          // its doc); the oracle's MIN(doc_id) parity holds because the
+          // incDocs plants are always CROSS-batch — assert that
+          // precondition so a feed change fails loudly, not as an
+          // intermittent oracle hash mismatch
+          Seq(b1, b2).foreach { b =>
+            require(b.map(_._2).distinct.size == b.size,
+              "q_stream_dedup_inc: within-batch duplicate text breaks " +
+              "the deterministic-survivor precondition")
+          }
           ms.addData(b1); q.processAllAvailable()
           ms.addData(b2); q.processAllAvailable()
         } finally q.stop()
@@ -1622,15 +1632,60 @@ object SparkEntry {
     * event time would NPE here and is undroppable-late by definition) —
     * the oracle WHERE carries the same predicates on its side.
     */
-  private def streamFeed(s: SparkSession, dir: String): Array[graft.schema.Turn] = {
-    import s.implicits._
-    Transcripts.fromEvents(
-        s.read.parquet(s"$dir/events.parquet").where(col("user_id") < 10))
-      .where(col("ts").isNotNull)
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .as[graft.schema.Turn]
+  /** The bounded driver feed for the streaming oracles: the user_id < 10
+    * slice (~700 rows at any sf; every streaming oracle restricts in
+    * lockstep), Turn-derived and event-time-sorted.
+    *
+    * The Turn mapping runs ON THE DRIVER over the collected slice: the
+    * rows are driver-sized by contract (they are about to be fed through
+    * MemoryStream.addData anyway), and routing them through the
+    * distributed rank-window derivation first paid a shuffle + window
+    * stage per streaming-query invocation just to compute a rank the
+    * driver re-sorts afterwards. The collected projection is narrow and
+    * the user_id filter pushes into the parquet scan; the mapping below
+    * is the same bijective derivation as [[Transcripts.fromEvents]]
+    * (conv_id = c<user>d<yyyyMMdd UTC>, turn_idx = 0-based (ts, event_id)
+    * rank per conversation, role by parity, text = type#props, tool for
+    * error/purchase) — parity with the distributed form is pinned by
+    * StreamFeedSpec.
+    */
+  private[graft] def streamFeed(s: SparkSession, dir: String): Array[graft.schema.Turn] = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id") < 10 && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+              col("event_id"), col("event_type"), col("props"))
       .collect()
-      .sortBy(_.ts.getTime)
+    val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+    // full-microsecond event time (Timestamp.getTime truncates to ms —
+    // the rank window this replaces ordered by the exact ts value)
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    val rows = raw.map { r =>
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+       if (r.isNullAt(3)) null else r.getString(3),
+       if (r.isNullAt(4)) null else r.getString(4))
+    }
+    rows.groupBy { case (uid, ts, _, _, _) =>
+        s"c${uid}d${dayFmt.format(ts.toInstant)}"
+      }
+      .iterator
+      .flatMap { case (convId, members) =>
+        members.sortBy { case (_, ts, eid, _, _) => (micros(ts), eid) }
+          .iterator.zipWithIndex
+          .map { case ((_, ts, _, etype, props), idx) =>
+            graft.schema.Turn(
+              convId, idx,
+              if (idx % 2 == 0) "user" else "assistant",
+              // concat() is null if ANY argument is — replicate exactly
+              if (etype == null || props == null) null else s"$etype#$props",
+              if (etype == "error" || etype == "purchase") Some(etype)
+              else None,
+              ts)
+          }
+      }
+      .toArray
+      .sortBy(t => (micros(t.ts), t.conv_id, t.turn_idx))
   }
 
   /** Harness shared by the three driver-oracled streaming queries: feeds

@@ -84,16 +84,16 @@ object GfaParse {
     * drop-on-parse-fail semantics through null-on-failure casts.
     */
   def tagMap(tagFields: Column): Column =
-    map_from_entries(
-      transform(
-        filter(coalesce(tagFields, array()),
-               t => t.rlike("^[^:]*:[^:]*:")),
-        t => struct(
-          substring_index(t, ":", 1).as("key"),
-          regexp_replace(t, "^[^:]*:", "").as("value"))))
+    graft.functions.GfaFunctions.gfa_tag_map(coalesce(tagFields, array()))
+
+  /** Everything after the first ':' — the non-regex twin of
+    * regexp_replace(v, "^[^:]*:", "") (callers guarantee a colon exists).
+    */
+  private def afterFirstColon(v: Column): Column =
+    v.substr(locate(":", v) + 1, length(v))
 
   private def tagTyp(v: Column): Column = substring_index(v, ":", 1)
-  private def tagVal(v: Column): Column = regexp_replace(v, "^[^:]*:", "")
+  private def tagVal(v: Column): Column = afterFirstColon(v)
 
   /** `i`/`f` tag → double; other types or unparseable → null
     * (P9 weight extraction; builders.py:205-209). `i` parses through the
@@ -140,9 +140,14 @@ object GfaParse {
       .withColumn("nf", size(col("fields")))
     val third = f(2)
     val fourth = f(3)
-    val tagShape = "^[^:]{2}:[^:]:" // 2-char tag, 1-char type, ≥2 colons
+    // tag shape "^[^:]{2}:[^:]:" (2-char tag, 1-char type, ≥2 colons) as
+    // position arithmetic: first colon at index 3, char 4 non-colon,
+    // char 5 colon — the regex engine per S record was measurable at
+    // corpus scale (same rewrite class as tagMap above)
     val thirdIsLen = col("nf") > 2 && third.try_cast("int").isNotNull
-    val fourthIsTag = col("nf") > 3 && fourth.rlike(tagShape)
+    val fourthIsTag = col("nf") > 3 &&
+      locate(":", fourth) === 3 && substring(fourth, 4, 1) =!= ":" &&
+      substring(fourth, 5, 1) === ":"
     r.select(Seq(
       f(1).as("id"),
       when(thirdIsLen, third.try_cast("int")).as("length"),
@@ -169,7 +174,8 @@ object GfaParse {
       .withColumn("nf", size(col("fields")))
       .where(col("nf") >= 5)
     val explicitOri = f(2).isin("+", "-")
-    def strip(c: Column) = regexp_replace(c, "[+-]+$", "")
+    // rtrim-with-charset == the regex "[+-]+$" strip, minus the regex
+    def strip(c: Column) = rtrim(c, "+-")
     def suffixOri(c: Column) =
       when(substring(c, -1, 1).isin("+", "-"), substring(c, -1, 1))
         .otherwise(lit("+"))

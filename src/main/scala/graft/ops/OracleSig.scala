@@ -109,12 +109,20 @@ object OracleSig {
       val tmp = s"$target.tmp-${java.util.UUID.randomUUID()}"
       build.withColumn("corpus_fp", lit(fp))
         .write.mode("overwrite").parquet(tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(target), true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
-                     new org.apache.hadoop.fs.Path(target)))
-        // another JVM won the delete→rename race; its table was built by
-        // the same code version over the same corpus — use it
+      // swap via rename-aside (NOT delete-then-rename): the old
+      // delete(target) → rename(tmp, target) sequence left a window in
+      // which a concurrent reader (DuckDB mid-oracle, a sibling JVM) saw
+      // NO table at all; two renames leave only a rename-to-rename gap,
+      // and the stale table is removed after the new one is in place
+      val targetP = new org.apache.hadoop.fs.Path(target)
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$target.old-${java.util.UUID.randomUUID()}")
+      if (fs.exists(targetP)) fs.rename(targetP, aside)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), targetP))
+        // another JVM won the swap race; its table was built by the same
+        // code version over the same corpus — use it
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.delete(aside, true)
       target
     })
     s.read.parquet(p).drop("corpus_fp")
@@ -138,7 +146,14 @@ object OracleSig {
     val tagDir = new org.apache.hadoop.fs.Path(s"$Root/$tag")
     if (fs.exists(tagDir))
       fs.listStatus(tagDir).foreach { st =>
-        if (st.getPath.getName.startsWith(s"$table.tmp-"))
+        val n = st.getPath.getName
+        // age-gate the sweep: a fresh tmp-/old- dir may belong to a LIVE
+        // concurrent writer mid-swap (deleting it would fail that JVM's
+        // rename after it already moved its target aside); only dirs a
+        // crashed writer abandoned — older than an hour — are orphans
+        val orphanAge = 60L * 60 * 1000
+        if ((n.startsWith(s"$table.tmp-") || n.startsWith(s"$table.old-")) &&
+            System.currentTimeMillis() - st.getModificationTime > orphanAge)
           fs.delete(st.getPath, true)
       }
   }

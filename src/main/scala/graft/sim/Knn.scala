@@ -32,7 +32,11 @@ object Knn {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 simDecimals: Int = -1): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    // the NLJ stream side must be wider than the scan's split count — a
+    // single-row-group corpus file otherwise runs the whole O(|q|·|c|)
+    // pair loop on one task (graft.ops.Scans.wide: no-op at scale)
+    val c = graft.ops.Scans.wide(
+        corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")))
       .withColumn("nbr_norm", norm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))

@@ -97,11 +97,27 @@ object IncrementalNearDup {
     val relevant = oldBands.withColumn("is_new", lit(false))
       .unionByName(bBands.withColumn("is_new", lit(true)))
       .join(broadcast(touched), Seq("band", "band_hash"))
-    // corpus-so-far bucket cap (see class doc) over the touched buckets
-    val sized = relevant
+    // corpus-so-far bucket cap (see class doc) over the touched buckets —
+    // materialized once (batch-sized): the candidate self-join below
+    // probes it twice, and the cap-crossing guard reads the same counts
+    val sized0 = relevant
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .where(col("bsz") <= maxBucket)
+      .localCheckpoint(true)
+    // cap-crossing guard: the engine drops an over-cap bucket from THIS
+    // batch on, but pairs it emitted while the bucket was still under
+    // the cap survive — a full-corpus QUALIFY oracle drops them all. At
+    // test scale no bucket ever crosses; surface the crossing loudly so
+    // a future sf bump fails diagnosably instead of as a bare oracle
+    // hash mismatch.
+    val nOver = sized0.where(col("bsz") > maxBucket)
+      .select("band", "band_hash").distinct().count()
+    if (nOver > 0)
+      System.err.println(
+        s"WARN IncrementalNearDup: $nOver touched bucket(s) exceed " +
+        s"maxBucket=$maxBucket at batch $batchId — incremental pair " +
+        "output diverges from a full-corpus bucket-cap recomputation")
+    val sized = sized0.where(col("bsz") <= maxBucket)
     val cands = sized.where(col("is_new")).as("a")
       .join(sized.as("b"),
         col("a.band") === col("b.band") &&

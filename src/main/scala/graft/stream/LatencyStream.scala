@@ -70,11 +70,17 @@ object LatencyStream {
     rows.foreach { t =>
       val tus = micros(t.ts)
       if (tus > maxUs) maxUs = tus
-      last.foreach { l =>
-        if (t.role == "assistant" && t.turn_idx == l.idx + 1)
-          out += Gap(convId, t.tool, tus - l.tsUs, t.ts)
+      // monotonicity guard: a later micro-batch may carry an earlier
+      // turn_idx (late-but-within-watermark data) — regressing the
+      // stored index would re-emit an already-seen gap on the next
+      // idx+1 arrival. Stale rows neither emit nor update state.
+      if (!last.exists(l => t.turn_idx <= l.idx)) {
+        last.foreach { l =>
+          if (t.role == "assistant" && t.turn_idx == l.idx + 1)
+            out += Gap(convId, t.tool, tus - l.tsUs, t.ts)
+        }
+        last = Some(LastTurn(t.turn_idx, tus))
       }
-      last = Some(LastTurn(t.turn_idx, tus))
     }
     last.foreach(state.update)
     out += Gap(HeartbeatConvPrefix + convId, Some(HeartbeatTool), -1L,

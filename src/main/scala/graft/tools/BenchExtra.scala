@@ -22,6 +22,13 @@ object BenchExtra {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides for A/B experiments: "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
 
     try {
       import org.apache.spark.sql.functions._

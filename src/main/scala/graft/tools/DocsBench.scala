@@ -73,7 +73,9 @@ object DocsBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val path = s"/tmp/graft_docsbench/$n"
+    // v2: versioned fixture dir — a pre-existing 8-file v1 layout would
+    // silently reuse the old scan ceiling the 64-file repartition fixed
+    val path = s"/tmp/graft_docsbench/v2/$n"
     // 64 files regardless of generating parallelism: an 8-file layout
     // caps every SCAN-side stage at 8 tasks and silently flattens the
     // N→4N ratio of map-heavy legs (the round-6 scrub probe's finding —

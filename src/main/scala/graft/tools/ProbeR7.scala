@@ -190,7 +190,20 @@ object ProbeR7 {
           concat(lit("LN:i:"), length(col("text")).cast("string")))
         .as("value"))
       time("gfa_render_noop") { noop(segLines) }
+      time("gfa_records_noop") { noop(graft.gfa.GfaParse.records(segLines)) }
+      time("gfa_segments_noop") { noop(graft.gfa.GfaParse.segments(segLines)) }
+      time("gfa_segments_notags") {
+        noop(graft.gfa.GfaParse.segments(segLines).select("id", "sequence"))
+      }
       time("gfa_bytes_full") { noop(graft.gfa.GfaAnalysis.byteTotals(segLines)) }
+      val segLines32 = t.repartition(32).select(concat_ws("\t", lit("S"),
+          graft.ops.TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"),
+          concat(lit("LN:i:"), length(col("text")).cast("string")))
+        .as("value"))
+      time("gfa_bytes_full_32") {
+        noop(graft.gfa.GfaAnalysis.byteTotals(segLines32))
+      }
+      println(s"[probe] turns partitions=${t.rdd.getNumPartitions}")
     }
 
     if (want("dup")) {
@@ -212,6 +225,71 @@ object ProbeR7 {
         noop(graft.text.CorpusFilter.funnel(docs,
           graft.text.Dedup.minhashNearDupsFrom(sh, bands, threshold = 0.5)))
       }
+    }
+
+    if (want("scan")) {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println(s"[probe] emb scan partitions=${e.rdd.getNumPartitions}")
+      val e32 = e.repartition(32)
+      def simonly(corpus: org.apache.spark.sql.DataFrame): Unit = {
+        val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec"))
+          .withColumn("nbr_norm", sqrt(graft.functions.VecFunctions.vec_dot(col("nbr_vec"), col("nbr_vec"))))
+        val q = corpus.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+          .withColumn("q_norm", sqrt(graft.functions.VecFunctions.vec_dot(col("q_vec"), col("q_vec"))))
+        val sim = (graft.functions.VecFunctions.vec_dot(col("q_vec"), col("nbr_vec")) /
+          (col("q_norm") * col("nbr_norm"))).as("sim")
+        noop(c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+          .select(col("query_id"), col("nbr_id"), sim)
+          .groupBy("query_id").agg(max("sim"), min("nbr_id")))
+      }
+      time("knn_simonly_1part") { simonly(e) }
+      time("knn_simonly_32part") { simonly(e32) }
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      time("q1_agg_1part") {
+        noop(li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), count(lit(1)), countDistinct("l_orderkey")))
+      }
+      time("q1_agg_32part") {
+        noop(li.repartition(32).groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), count(lit(1)), countDistinct("l_orderkey")))
+      }
+      // does a filter above repartition still push to the parquet scan?
+      val filtered = li.repartition(32).where(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+      println("[probe] pushdown-through-repartition plan:\n" +
+        filtered.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("PushedFilters") || l.contains("Filter"))
+          .mkString("\n"))
+    }
+
+    if (want("docs")) {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val d32 = d.repartition(32)
+      time("doc_quality_1p") { noop(graft.text.TextAnalysis.quality(d)) }
+      time("doc_quality_32p") { noop(graft.text.TextAnalysis.quality(d32)) }
+      time("doc_repetition_1p") { noop(graft.text.Curation.repetition(d)) }
+      time("doc_repetition_32p") { noop(graft.text.Curation.repetition(d32)) }
+      time("doc_tokens_1p") {
+        noop(d.select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")),
+          graft.text.TextAnalysis.bpeishTokenCount(col("text"))))
+      }
+      time("doc_tokens_32p") {
+        noop(d32.select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")),
+          graft.text.TextAnalysis.bpeishTokenCount(col("text"))))
+      }
+      time("gram_hashes_1p") {
+        noop(graft.text.TextAnalysis.gramHashes(d, "doc_id", "text", k = 8))
+      }
+      time("gram_hashes_32p") {
+        noop(graft.text.TextAnalysis.gramHashes(d32, "doc_id", "text", k = 8))
+      }
+    }
+
+    if (want("dimplan")) {
+      val dim = graft.gen.Transcripts.turns(spark, sfDir).groupBy("conv_id")
+        .agg(min(col("ts").cast("timestamp")).as("first_ts"))
+      println("[probe] dim plan:\n" + dim.queryExecution.executedPlan.toString)
     }
 
     if (want("stream2")) {
