@@ -106,6 +106,27 @@ object SparkEntry {
           .otherwise(d("text")).as("text"))
   }
 
+  /** [[incDocs]] computed on the driver over one collected narrow slice
+    * (ids < 400 cover the feed plus both lookup ranges): the feed is
+    * about to be collected anyway, and the two-join distributed form
+    * paid two shuffles per invocation for ~200 rows. Mapping kept in
+    * lockstep with [[incDocs]] (pinned equal in StreamFeedSpec).
+    */
+  private[graft] def incDocsRows(s: SparkSession, dir: String): Array[(Long, String)] = {
+    val slice = docs(s, dir).where(col("doc_id") < 400)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val byId = slice.toMap
+    slice.collect {
+      case (id, text) if id < 200 =>
+        val t =
+          if (id % 7 == 3) byId.get(id + 200).orNull
+          else if (id >= 100 && id % 9 == 7) byId.get(id - 100).orNull
+          else text
+        (id, t)
+    }.sortBy(_._1)
+  }
+
   /** Flagship query: conversation-graph stats (Q1) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     qStats(spark, "/root/testdata/sf0.001")
@@ -381,12 +402,16 @@ object SparkEntry {
     // → rows emit in their arrival batch; no watermark, no sentinels.
     "q_stream_enrich" -> ((s, dir) => {
       val rows = streamFeed(s, dir)
-      val dim = T(s, dir).groupBy("conv_id")
-        .agg(min(col("ts").cast("timestamp")).as("first_ts"))
       if (rows.isEmpty)
         T(s, dir).select(col("conv_id"), col("turn_idx"),
           lit(0L).as("offset_us")).limit(0)
-      else
+      else {
+        // static dim materialized once: the static side of a
+        // stream-static join re-executes per micro-batch — without the
+        // barrier every trigger re-paid the events scan + aggregate
+        val dim = T(s, dir).groupBy("conv_id")
+          .agg(min(col("ts").cast("timestamp")).as("first_ts"))
+          .localCheckpoint(true)
         runStream(s, rows, "q_stream_enrich", nSentinels = 0,
                   dropSentinelRows = identity) { src =>
           src.join(broadcast(dim), "conv_id")
@@ -394,6 +419,7 @@ object SparkEntry {
                     expr("timestampdiff(MICROSECOND, first_ts, ts)")
                       .as("offset_us"))
         }
+      }
     }),
     // Incrementally-maintained MATERIALIZED VIEW (round-5 continuation):
     // update-mode streaming aggregation + foreachBatch replace-on-match
@@ -806,7 +832,7 @@ object SparkEntry {
     // totals directly from turns, so any parse-layer regression breaks
     // the hash match.
     "q_gfa_stats" -> ((s, dir) => {
-      val t = graft.ops.Scans.wide(T(s, dir))
+      val t = T(s, dir)
       // a tab/newline inside text would shift the rendered S-record fields
       // and silently truncate the re-parsed sequence — surface it as an
       // error instead of an unexplained oracle hash mismatch
@@ -1105,9 +1131,14 @@ object SparkEntry {
     // feed with id arithmetic and recomputes both drops in SQL.
     "q_stream_dedup_inc" -> ((s, dir) => {
       import s.implicits._
+      // materialize the base fingerprint set once: the static side of a
+      // stream-static join is re-executed EVERY micro-batch, so without
+      // the barrier each trigger re-paid the corpus scan + distinct
+      // shuffle (production reads this table from its parquet snapshot)
       val base = docs(s, dir).where(col("doc_id") >= 200)
         .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
-      val rows = incDocs(s, dir).as[(Long, String)].collect().sortBy(_._1)
+        .localCheckpoint(true)
+      val rows = incDocsRows(s, dir)
       if (rows.isEmpty)
         base.select(lit(0L).as("doc_id"), col("fp")).limit(0)
       else {
