@@ -54,6 +54,13 @@ object CorpusFilter {
       .withColumn("ok_exact",
         col(idCol) === min(when(col("ok_lang") && col("ok_quality"),
                                 col(idCol))).over(fpW))
+      // materialized once: the flag relation feeds BOTH the near-dup
+      // restriction (via the component kernel's own materialization) and
+      // the final stage-count aggregate — without the barrier the second
+      // consumer re-paid the corpus scan + quality/lang columns + the
+      // fingerprint window. This is the funnel's natural materialization
+      // point at any scale (one row of flags per doc).
+      .localCheckpoint(true)
     val sur3 = flagged
       .where(col("ok_lang") && col("ok_quality") && col("ok_exact"))
       .select(col(idCol))

@@ -261,6 +261,38 @@ object ProbeR7 {
           .mkString("\n"))
     }
 
+    if (want("turns")) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      time("turns_noop_plain") {
+        noop(graft.gen.Transcripts.fromEvents(ev))
+      }
+      time("turns_noop_wide") {
+        noop(graft.gen.Transcripts.fromEvents(graft.ops.Scans.wide(ev)))
+      }
+      // a representative T-consumer: edges (second window on same key)
+      time("conv_edges_plain") {
+        noop(graft.ops.TurnGraph.edges(graft.gen.Transcripts.fromEvents(ev)))
+      }
+      time("conv_edges_wide") {
+        noop(graft.ops.TurnGraph.edges(
+          graft.gen.Transcripts.fromEvents(graft.ops.Scans.wide(ev))))
+      }
+      time("csr_agg_plain") {
+        import spark.implicits._
+        val t = graft.gen.Transcripts.fromEvents(ev)
+          .withColumn("ts", col("ts").cast("timestamp")).as[graft.schema.Turn]
+        noop(t.groupByKey(_.conv_id)
+          .agg(graft.ops.ConvCsrAggregator.toColumn.name("csr")).toDF())
+      }
+      time("csr_agg_wide") {
+        import spark.implicits._
+        val t = graft.gen.Transcripts.fromEvents(graft.ops.Scans.wide(ev))
+          .withColumn("ts", col("ts").cast("timestamp")).as[graft.schema.Turn]
+        noop(t.groupByKey(_.conv_id)
+          .agg(graft.ops.ConvCsrAggregator.toColumn.name("csr")).toDF())
+      }
+    }
+
     if (want("docs")) {
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
       val d32 = d.repartition(32)
@@ -326,6 +358,72 @@ object ProbeR7 {
             println(s"[probe]   last durationMs=${p.durationMs}") }
         }
       }
+    }
+
+    if (want("stream3")) {
+      import java.util.concurrent.ConcurrentLinkedQueue
+      val jobs = new ConcurrentLinkedQueue[(Int, Long, Long)]() // id, wall, taskTime
+      val taskTime = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(js.jobId, System.nanoTime())
+          taskTime.put(js.jobId, new java.util.concurrent.atomic.AtomicLong)
+          js.stageIds.foreach(sid => stageToJob.put(sid, js.jobId))
+        }
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val j = stageToJob.get(te.stageId)
+          val t = taskTime.get(j)
+          if (t != null && te.taskInfo != null) t.addAndGet(te.taskInfo.duration)
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.get(je.jobId)
+          val t = taskTime.get(je.jobId)
+          if (s != 0L) jobs.add((je.jobId, (System.nanoTime() - s) / 1000000L,
+                                 if (t == null) -1 else t.get()))
+        }
+      }
+      val rows = graft.gen.Transcripts.fromEvents(
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .where(col("user_id") < 10))
+        .where(col("ts").isNotNull)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .as[graft.schema.Turn].collect().sortBy(_.ts.getTime)
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val ms = MemoryStream[graft.schema.Turn](
+          org.apache.spark.sql.Encoders.product[graft.schema.Turn],
+          spark.sqlContext)
+        val name = s"probe_s3_${System.nanoTime()}"
+        val parts = graft.stream.StatePartitions.forVolume(rows.length, minParts = 2)
+        val q = graft.stream.StatePartitions.scoped(spark, parts) {
+          graft.stream.CepQueries.sessionStats(ms.toDF(),
+              watermark = "10 minutes", gap = "30 minutes")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        }
+        try {
+          val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2); q.processAllAvailable()
+          ms.addData(Seq(graft.schema.Turn("__sentinel__", 0, "user", "s", None,
+            new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000))))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val wall = (System.nanoTime() - t0) / 1000000L
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(500)
+      var sumWall = 0L; var sumTask = 0L; var n = 0
+      jobs.forEach { case (id, w, tt) =>
+        println(s"[probe] job=$id wall=${w}ms taskTime=${tt}ms")
+        sumWall += w; sumTask += tt; n += 1
+      }
+      println(s"[probe] stream wall=${wall}ms jobs=$n jobWallSum=${sumWall}ms " +
+        s"taskTimeSum=${sumTask}ms gap=${wall - sumWall}ms")
     }
 
     if (want("stream")) {
