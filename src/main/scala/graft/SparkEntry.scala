@@ -908,7 +908,7 @@ object SparkEntry {
     // records carrying an LN:i tag — the oracle recomputes both sums
     // (tag map stores "TYPE:VALUE", so its byte length is 2 + digits).
     "q_gfa_bytes" -> ((s, dir) => {
-      val t = graft.ops.Scans.wide(T(s, dir))
+      val t = T(s, dir)
       val segLines = t.select(concat_ws("\t", lit("S"),
           TurnGraph.nodeId(col("conv_id"), col("turn_idx")), col("text"),
           concat(lit("LN:i:"), length(col("text")).cast("string")))
@@ -1156,11 +1156,16 @@ object SparkEntry {
           // its doc); the oracle's MIN(doc_id) parity holds because the
           // incDocs plants are always CROSS-batch — assert that
           // precondition so a feed change fails loudly, not as an
-          // intermittent oracle hash mismatch
+          // intermittent oracle hash mismatch. The dedup key is the
+          // NORMALIZED fingerprint (lower → collapse whitespace → trim),
+          // so distinctness is asserted on that form, not raw text.
+          def normed(t: String) =
+            if (t == null) null
+            else t.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
           Seq(b1, b2).foreach { b =>
-            require(b.map(_._2).distinct.size == b.size,
-              "q_stream_dedup_inc: within-batch duplicate text breaks " +
-              "the deterministic-survivor precondition")
+            require(b.map(r => normed(r._2)).distinct.size == b.size,
+              "q_stream_dedup_inc: within-batch duplicate normalized " +
+              "text breaks the deterministic-survivor precondition")
           }
           ms.addData(b1); q.processAllAvailable()
           ms.addData(b2); q.processAllAvailable()

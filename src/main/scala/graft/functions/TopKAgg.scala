@@ -62,9 +62,16 @@ case class TopKByScoreAgg(
     first: Expression, second: Expression, third: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuf] with TernaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuf] with TernaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  // analysis-time typing (the typed Aggregator this replaced got the
+  // same safety from its encoder): mis-typed columns are rejected or
+  // coerced at analysis instead of ClassCastException mid-task
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, DoubleType)
 
   override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
 

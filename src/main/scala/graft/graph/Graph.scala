@@ -46,11 +46,20 @@ object Graph {
     * the session parallelism run untouched (AQE coalescing/skew handling
     * stay in force on the 100-TB path).
     */
-  private def loopScoped[A](spark: SparkSession, rows: Long)(body: => A): A = {
+  /** Shared rows→partitions derivation of [[loopScoped]]/[[loopCompact]]
+    * — one definition so the loop's shuffle parallelism can never
+    * disagree with the compacted cached relation's layout.
+    */
+  private def loopTarget(spark: SparkSession, rows: Long): (Int, Int) = {
     val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val target = math.min(default.toLong,
       math.max(1L, (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition))
       .toInt
+    (target, default)
+  }
+
+  private def loopScoped[A](spark: SparkSession, rows: Long)(body: => A): A = {
+    val (target, default) = loopTarget(spark, rows)
     if (target >= default) body
     else {
       val prevP = spark.conf.get("spark.sql.shuffle.partitions")
@@ -71,10 +80,7 @@ object Graph {
     */
   private def loopCompact(spark: SparkSession, df: DataFrame,
                           rows: Long): DataFrame = {
-    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val target = math.min(default.toLong,
-      math.max(1L, (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition))
-      .toInt
+    val (target, default) = loopTarget(spark, rows)
     if (target >= default) df else df.coalesce(target)
   }
 

@@ -117,7 +117,14 @@ object OracleSig {
       val targetP = new org.apache.hadoop.fs.Path(target)
       val aside = new org.apache.hadoop.fs.Path(
         s"$target.old-${java.util.UUID.randomUUID()}")
-      if (fs.exists(targetP)) fs.rename(targetP, aside)
+      if (fs.exists(targetP) && !fs.rename(targetP, aside) &&
+          fs.exists(targetP))
+        // first rename failed AND target is still there (not a lost race
+        // with a concurrent swapper): bailing loudly beats the silent
+        // alternative — tmp would fail to rename in and the STALE table
+        // would be served as current with no fp validation on read-back
+        throw new IllegalStateException(
+          s"OracleSig: cannot move aside stale table $target")
       if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), targetP))
         // another JVM won the swap race; its table was built by the same
         // code version over the same corpus — use it

@@ -16,6 +16,13 @@ import org.apache.spark.sql.DataFrame
   * measured there, the round-robin shuffle costs more than the
   * single-task aggregation it parallelizes. Use only ahead of chains
   * whose per-row compute dominates the row's shuffle bytes.
+  *
+  * CALLER CONTRACT: pass a SHUFFLE-FREE scan relation (scan + narrow
+  * ops only). The partition probe reads `df.rdd`, and under AQE that
+  * materializes every non-result query stage — an input containing an
+  * Exchange would execute (and throw away) its upstream work just to
+  * learn a partition count. Every call site in SparkEntry/Knn feeds a
+  * plain filtered/projected file scan.
   */
 object Scans {
   def wide(df: DataFrame): DataFrame = {

@@ -69,6 +69,15 @@ object Knn {
     // the full O(pairs) stream. 4096 groups ≈ 0.5 MB of buffers at k=5 —
     // a per-task memory bound, not a local-mode tune (measured: −0.7 s on
     // the sf0.1 all-pairs stage).
+    //
+    // The set is session-scoped (execution reads the conf after this
+    // builder returns, so it cannot be try/finally-restored) and is an
+    // intentional ENGINE default: the session's other object-hash
+    // aggregates carry conversation-/dimension-bounded buffers (CSR int
+    // arrays, per-conv collect_lists, capacity-bounded MG sketches —
+    // KB-scale each), so 4096 in-memory groups stay MB-scale per task;
+    // an engine adding a genuinely unbounded-buffer aggregate must
+    // revisit this bound.
     scored.sparkSession.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     scored.groupBy("query_id")

@@ -37,12 +37,12 @@ object Dedup {
     * fingerprint-only projection of the corpus (32 bytes/doc);
     * partitioned/bucketed storage makes it a shuffle-free probe.
     * Output: (idCol, fp) — the accepted-new documents.
-    */
-  /** PRECONDITION: duplicates within one micro-batch survive as an
+    *
+    * PRECONDITION: duplicates within one micro-batch survive as an
     * ARBITRARY row per fingerprint (dropDuplicates keeps whichever task
     * order delivers first) — callers needing a deterministic survivor
     * must guarantee within-batch fingerprint uniqueness (the driver feed
-    * asserts it) or pre-reduce the batch themselves.
+    * asserts it on the normalized form) or pre-reduce the batch.
     */
   def incrementalExact(newDocs: DataFrame, baseFps: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text")

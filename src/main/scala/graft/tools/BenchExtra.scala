@@ -25,8 +25,10 @@ object BenchExtra {
     // optional conf overrides for A/B experiments: "k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
       s.split(';').filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF entry without '=': $kv")
+        }
       }
     }
 
