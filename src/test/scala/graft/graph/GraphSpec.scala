@@ -23,6 +23,28 @@ class GraphSpec extends SparkSuite {
     assert(byNode("lonely") != byNode("a"))
   }
 
+  test("connected components: LARGE-graph path (dense long ids) above the node threshold") {
+    // > CcSmallGraphNodes nodes routes through the lexicographic-rank id
+    // indexing + long-label loop (untested by the small fixtures; the
+    // r07 loop scoping touched it): 210k nodes, the first 2000 joined in
+    // 1000 disjoint pairs, the rest isolated singletons.
+    val nNodes = 210000
+    val nodes = spark.range(nNodes)
+      .select(format_string("n%06d", col("id")).as("node"))
+    val edges = spark.range(1000)
+      .select(format_string("n%06d", col("id") * 2).as("src"),
+              format_string("n%06d", col("id") * 2 + 1).as("dst"))
+    val labels = Graph.connectedComponents(edges, Some(nodes))
+    assert(labels.count() == nNodes)
+    assert(labels.agg(countDistinct("label")).head().getLong(0) == nNodes - 1000)
+    // each pair's representative is the min node string (the even member)
+    val bad = labels
+      .where(col("node").isin("n000000", "n000001", "n001998", "n001999"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bad("n000000") == "n000000" && bad("n000001") == "n000000")
+    assert(bad("n001998") == "n001998" && bad("n001999") == "n001998")
+  }
+
   test("undirected frontier filter == full-state filter on random graphs") {
     // the undirected BFS anti-joins only the previous two frontier deltas
     // (hop distance changes by ≤1 across an undirected edge); the
