@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.Transcripts
 import graft.gfa.{GfaParse, SplitAlignment}
 import graft.graph.Graph
-import graft.ops.{ConvCsrAggregator, DupMode, Pairing, Rates, Sessions, TurnGraph}
+import graft.ops.{DupMode, Pairing, Rates, Sessions, TurnGraph}
 import graft.sim.{Ivf, Knn}
 import graft.text.{Curation, Dedup, Packing, Redaction, TextAnalysis}
 
@@ -672,20 +672,20 @@ object SparkEntry {
     }),
     "q_coo_sym" -> ((s, dir) =>
       TurnGraph.symmetrize(TurnGraph.coo(TurnGraph.edges(T(s, dir)), DupMode.Sum))),
-    // T6 batch twin: per-conversation CSR shape via the typed Aggregator
-    // (same representation as the streaming flatMapGroupsWithState state)
-    "q_csr_agg" -> ((s, dir) => {
-      import s.implicits._
-      val t = T(s, dir).withColumn("ts", col("ts").cast("timestamp")).as[graft.schema.Turn]
-      t.groupByKey(_.conv_id)
-        .agg(ConvCsrAggregator.toColumn.name("csr"))
-        .select(col("key").as("conv_id"),
-                col("csr.n_turns").as("n_turns"),
-                col("csr.n_edges").as("n_edges"),
-                col("csr.min_idx").as("min_idx"),
-                col("csr.max_idx").as("max_idx"),
-                col("csr.contiguous").as("contiguous"))
-    }),
+    // T6 batch twin: per-conversation CSR shape — the imperative
+    // CsrShapeAgg (same CsrState.csrOf derivation as the streaming
+    // flatMapGroupsWithState state; pinned against the typed
+    // ConvCsrAggregator in CsrAggSpec). Untyped groupBy so column
+    // pruning cuts the plan to (conv_id, turn_idx).
+    "q_csr_agg" -> ((s, dir) => T(s, dir)
+      .groupBy("conv_id")
+      .agg(graft.functions.CsrAgg.csr_shape(col("turn_idx")).as("csr"))
+      .select(col("conv_id"),
+              col("csr.n_turns").as("n_turns"),
+              col("csr.n_edges").as("n_edges"),
+              col("csr.min_idx").as("min_idx"),
+              col("csr.max_idx").as("max_idx"),
+              col("csr.contiguous").as("contiguous"))),
     "q_text_dups" -> ((s, dir) => T(s, dir)
       .groupBy("text")
       .agg(count(lit(1)).as("n_occurrences"),

@@ -79,24 +79,21 @@ object HeavyHitters {
     * summary. Output: (groupCol, term, cnt), count-descending ranks
     * implied by (cnt desc, term) order within a group.
     *
-    * Scale shape: explode is row-local; the typed Aggregator gets
-    * map-side partial aggregation, so every partition contributes at most
-    * `capacity` counters per group to the one shuffle.
+    * Scale shape: explode is row-local; the imperative
+    * [[graft.functions.MgSketchAgg]] gets map-side partial aggregation,
+    * so every partition contributes at most `capacity` counters per group
+    * to the one shuffle (the typed [[MisraGries]] stays for the streaming
+    * form below, pinned equivalent in MgAggSpec).
     */
   def terms(docs: DataFrame, groupCol: String = "source",
-            textCol: String = "text", capacity: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val items = docs
+            textCol: String = "text", capacity: Int = 64): DataFrame =
+    docs
       .select(col(groupCol).as("g"),
               explode(split(col(textCol), " ")).as("item"))
-      .as[(String, String)]
-    items.groupByKey(_._1).mapValues(_._2)
-      .agg(new MisraGries(capacity).toColumn.name("hits"))
-      .toDF("g", "hits")
+      .groupBy("g")
+      .agg(graft.functions.MgAgg.mg_sketch(col("item"), capacity).as("hits"))
       .select(col("g").as(groupCol), explode(col("hits")).as("h"))
       .select(col(groupCol), col("h.item").as("term"), col("h.cnt").as("cnt"))
-  }
 
   /** The STREAMING form: heavy-hitter terms per event-time tumbling
     * window over a watermarked turn stream — "trending tokens per hour"
