@@ -34,39 +34,42 @@ def canon(df):
             df[c] = s.astype("float64")
     return df
 
+def _keycell(v):
+    # canonical, dtype-independent repr so int64 12 and float64 12.0 sort
+    # identically in both frames (ties on other columns would otherwise
+    # pair rows differently and fake a mismatch)
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "\x00"
+    if isinstance(v, (bool, np.bool_)):
+        return "b%d" % int(v)
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return "n%+.17e" % float(v)
+    return "s" + str(v)
+
 def sort_rows(df):
     if len(df.columns) == 0 or len(df) == 0:
         return df
-    key = df.apply(lambda col: col.map(lambda v: "\x00" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v)), axis=0)
+    key = df.apply(lambda col: col.map(_keycell), axis=0)
     order = key.sort_values(by=list(key.columns), kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
-n_match = n_fail = 0
-for name in sorted(oracle_sql):
+def compare_one(name):
+    """Returns (None, nrows) on match, else (failure description, 0)."""
     spark_dir = os.path.join(outdir, name)
     parts = sorted(glob.glob(os.path.join(spark_dir, "*.parquet")))
     if not parts:
-        print(f"{name}: MISSING spark output")
-        n_fail += 1
-        continue
+        return "MISSING spark output", 0
     try:
         odf = con.execute(oracle_sql[name]).df()
     except Exception as e:
-        print(f"{name}: ORACLE ERROR {e}")
-        n_fail += 1
-        continue
+        return f"ORACLE ERROR {e}", 0
     sdf = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
     odf, sdf = canon(odf), canon(sdf)
     if list(odf.columns) != list(sdf.columns):
-        print(f"{name}: COLUMN MISMATCH oracle={list(odf.columns)} spark={list(sdf.columns)}")
-        n_fail += 1
-        continue
+        return f"COLUMN MISMATCH oracle={list(odf.columns)} spark={list(sdf.columns)}", 0
     if len(odf) != len(sdf):
-        print(f"{name}: ROWCOUNT MISMATCH oracle={len(odf)} spark={len(sdf)}")
-        n_fail += 1
-        continue
+        return f"ROWCOUNT MISMATCH oracle={len(odf)} spark={len(sdf)}", 0
     odf, sdf = sort_rows(odf), sort_rows(sdf)
-    bad = None
     for c in odf.columns:
         a, b = odf[c], sdf[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
@@ -82,13 +85,23 @@ for name in sorted(oracle_sql):
         ok = np.asarray(ok)
         if not ok.all():
             i = int(np.argmin(ok))
-            bad = (c, i, odf[c].iloc[i], sdf[c].iloc[i])
-            break
+            return (f"VALUE MISMATCH col={c} row={i} "
+                    f"oracle={odf[c].iloc[i]!r} spark={sdf[c].iloc[i]!r}"), 0
+    return None, len(odf)
+
+n_match = n_fail = 0
+for name in sorted(oracle_sql):
+    # contain per-query breakage (corrupt part file, dtype clash in the
+    # compare itself): count it as FAIL and keep sweeping
+    try:
+        bad, nrows = compare_one(name)
+    except Exception as e:
+        bad = f"COMPARE ERROR {type(e).__name__}: {e}"
     if bad:
-        print(f"{name}: VALUE MISMATCH col={bad[0]} row={bad[1]} oracle={bad[2]!r} spark={bad[3]!r}")
+        print(f"{name}: {bad}")
         n_fail += 1
     else:
-        print(f"{name}: MATCH ({len(odf)} rows)")
+        print(f"{name}: MATCH ({nrows} rows)")
         n_match += 1
 
 print(f"--- {n_match} MATCH, {n_fail} FAIL of {len(oracle_sql)}")

@@ -1062,8 +1062,9 @@ object SparkEntry {
     // where log() parity is not)
     "q_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)),
-    // bounded-memory heavy hitters: Misra-Gries typed Aggregator — at
-    // most `capacity` counters per group survive the map-side partial
+    // bounded-memory heavy hitters: the imperative Misra-Gries aggregate
+    // (functions.MgSketchAgg via HeavyHitters.terms) — at most
+    // `capacity` counters per group survive the map-side partial
     // aggregation, so the shuffle is O(groups × capacity) at ANY
     // vocabulary size (a plain count keys state by distinct value). The
     // driver corpus has ≤ 31 distinct words per source, so capacity 64
